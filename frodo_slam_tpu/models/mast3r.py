@@ -1,0 +1,224 @@
+"""The MASt3R two-view pointmap network, assembled in pure JAX.
+
+Architecture of record (the published
+``MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric`` checkpoint, instantiated
+at ``mast3r/model.py:21-37`` / ``dust3r/dust3r/model.py:46-210`` /
+``croco/models/croco.py:21-112``):
+
+- shared ViT-L encoder: patch 16, dim 1024, depth 24, heads 16, RoPE base 100
+- two decoders (``dec_blocks``, ``dec_blocks2``): dim 768, depth 12, heads 12,
+  cross-attending to the other view each layer
+- per-view DPT head (hooks [0, 6, 9, 12]) for pts3d+conf and a cat-MLP
+  pixel-shuffle head for 24-dim local descriptors + desc confidence
+- postprocess: pts3d = unit(xyz) * expm1(|xyz|), conf = 1 + exp, desc
+  L2-normalized, desc_conf = exp
+
+Functional API (params are plain pytrees):
+    encode_image(params, cfg, img)            -> feat (B,N,1024), pos (B,N,2)
+    decode(params, cfg, f1, p1, f2, p2)       -> hook token lists per view
+    downstream_head(params, cfg, hooks, hw)   -> dict(pts3d, conf, desc, desc_conf)
+    inference(params, cfg, img1, img2)        -> (res11, res21)  [one direction]
+
+The encoder/decoder run in ``cfg.dtype`` (bf16 by default, like the reference
+autocast ``mast3r_utils.py:88-211``); heads run in f32
+(``dust3r/model.py:205-207``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import dpt as dpt_mod
+from .layers import (
+    Params,
+    block,
+    block_init,
+    decoder_block,
+    decoder_block_init,
+    layernorm,
+    layernorm_init,
+    linear,
+    linear_init,
+    patch_embed,
+    patch_embed_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MASt3RConfig:
+    patch_size: int = 16
+    enc_embed_dim: int = 1024
+    enc_depth: int = 24
+    enc_num_heads: int = 16
+    dec_embed_dim: int = 768
+    dec_depth: int = 12
+    dec_num_heads: int = 12
+    mlp_ratio: float = 4.0
+    rope_base: float = 100.0
+    local_feat_dim: int = 24
+    two_confs: bool = True
+    dpt_feature_dim: int = 256
+    dpt_layer_dims: Tuple[int, ...] = (96, 192, 384, 768)
+    dtype: Any = jnp.bfloat16  # encoder/decoder compute dtype
+
+    @property
+    def hooks(self) -> Tuple[int, int, int, int]:
+        l2 = self.dec_depth
+        return (0, l2 * 2 // 4, l2 * 3 // 4, l2)
+
+    @property
+    def dpt_last_dim(self) -> int:
+        return self.dpt_feature_dim // 2
+
+
+def tiny_config(**kw) -> MASt3RConfig:
+    """Small config for CPU tests; dec_depth stays 12 (head hooks require >9,
+    catmlp_dpt_head.py:108)."""
+    kw.setdefault("enc_embed_dim", 64)
+    kw.setdefault("enc_depth", 2)
+    kw.setdefault("enc_num_heads", 2)
+    kw.setdefault("dec_embed_dim", 48)
+    kw.setdefault("dec_depth", 12)
+    kw.setdefault("dec_num_heads", 2)
+    kw.setdefault("dtype", jnp.float32)
+    return MASt3RConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _stack_layers(layer_params: List[Params]) -> Params:
+    """Stack a list of identically-shaped layer pytrees along a new leading
+    axis so the whole stack scans with ``lax.scan``."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+
+
+def init_params(rng, cfg: MASt3RConfig) -> Params:
+    keys = jax.random.split(rng, 8)
+    enc_blocks = _stack_layers(
+        [block_init(k, cfg.enc_embed_dim, cfg.mlp_ratio) for k in jax.random.split(keys[0], cfg.enc_depth)]
+    )
+    dec_blocks = _stack_layers(
+        [decoder_block_init(k, cfg.dec_embed_dim, cfg.mlp_ratio) for k in jax.random.split(keys[1], cfg.dec_depth)]
+    )
+    dec_blocks2 = _stack_layers(
+        [decoder_block_init(k, cfg.dec_embed_dim, cfg.mlp_ratio) for k in jax.random.split(keys[2], cfg.dec_depth)]
+    )
+    dim_tokens = (cfg.enc_embed_dim,) + (cfg.dec_embed_dim,) * 3
+    head = lambda k: {  # noqa: E731
+        "dpt": dpt_mod.dpt_init(
+            k,
+            dim_tokens,
+            cfg.dpt_layer_dims,
+            cfg.dpt_feature_dim,
+            cfg.dpt_last_dim,
+            num_channels=4,
+        ),
+        "catmlp": dpt_mod.catmlp_init(
+            k, cfg.enc_embed_dim, cfg.dec_embed_dim, cfg.local_feat_dim, cfg.patch_size, cfg.two_confs
+        ),
+    }
+    return {
+        "patch_embed": patch_embed_init(keys[3], cfg.patch_size, 3, cfg.enc_embed_dim),
+        "enc_blocks": enc_blocks,
+        "enc_norm": layernorm_init(cfg.enc_embed_dim),
+        "decoder_embed": linear_init(keys[4], cfg.enc_embed_dim, cfg.dec_embed_dim),
+        "dec_blocks": dec_blocks,
+        "dec_blocks2": dec_blocks2,
+        "dec_norm": layernorm_init(cfg.dec_embed_dim),
+        "head1": head(keys[5]),
+        "head2": head(keys[6]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def encode_image(params: Params, cfg: MASt3RConfig, img: jax.Array):
+    """``img``: (B, H, W, 3) ImgNorm'd. Returns f32 feat (B, N, D), pos.
+
+    Spec: ``dust3r/model.py:127-139`` (`_encode_image`).
+    """
+    x, pos = patch_embed(params["patch_embed"], img.astype(cfg.dtype), cfg.patch_size)
+
+    def step(carry, layer_p):
+        return block(layer_p, carry, pos, cfg.enc_num_heads, cfg.rope_base), None
+
+    x, _ = jax.lax.scan(step, x, params["enc_blocks"])
+    x = layernorm(params["enc_norm"], x)
+    return x.astype(jnp.float32), pos
+
+
+def decode(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2):
+    """Cross-attending twin decoders (``dust3r/model.py:171-190``).
+
+    Returns (hooks1, hooks2): for each view the 4 hook activations
+    [enc_out, dec_{l/2}, dec_{3l/4}, dec_norm(dec_l)] in f32, ready for the
+    DPT head, plus the normed final decoder tokens (== hooks[3]).
+    """
+    enc1, enc2 = f1, f2
+    x1 = linear(params["decoder_embed"], f1.astype(cfg.dtype))
+    x2 = linear(params["decoder_embed"], f2.astype(cfg.dtype))
+
+    def step(carry, layer_p):
+        x1, x2 = carry
+        p1_, p2_ = layer_p
+        nx1 = decoder_block(p1_, x1, x2, pos1, pos2, cfg.dec_num_heads, cfg.rope_base)
+        nx2 = decoder_block(p2_, x2, x1, pos2, pos1, cfg.dec_num_heads, cfg.rope_base)
+        return (nx1, nx2), (nx1, nx2)
+
+    (_, _), (ys1, ys2) = jax.lax.scan(
+        step, (x1, x2), (params["dec_blocks"], params["dec_blocks2"])
+    )
+    # ys: (depth, B, N, D); hook indices 1..depth map to ys[hook-1]
+    h1, h2, h3 = cfg.hooks[1] - 1, cfg.hooks[2] - 1, cfg.hooks[3] - 1
+    d1_last = layernorm(params["dec_norm"], ys1[h3]).astype(jnp.float32)
+    d2_last = layernorm(params["dec_norm"], ys2[h3]).astype(jnp.float32)
+    hooks1 = [enc1, ys1[h1].astype(jnp.float32), ys1[h2].astype(jnp.float32), d1_last]
+    hooks2 = [enc2, ys2[h1].astype(jnp.float32), ys2[h2].astype(jnp.float32), d2_last]
+    return hooks1, hooks2
+
+
+def downstream_head(params_head: Params, cfg: MASt3RConfig, hooks: List[jax.Array], img_hw):
+    """DPT + cat-MLP head + postprocess, all f32
+    (catmlp_dpt_head.py:71-96)."""
+    h, w = img_hw
+    grid = (h // cfg.patch_size, w // cfg.patch_size)
+    pts_conf = dpt_mod.dpt_apply(params_head["dpt"], hooks, grid)  # (B,H,W,4)
+    local = dpt_mod.catmlp_apply(
+        params_head["catmlp"], hooks[0], hooks[3], grid, cfg.patch_size, cfg.local_feat_dim, cfg.two_confs
+    )  # (B,H,W,d+1)
+    fmap = jnp.concatenate([pts_conf, local], axis=-1)
+    return dpt_mod.postprocess(fmap, cfg.local_feat_dim)
+
+
+def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_hw):
+    """One decoder pass + both heads — the reference's ``decoder()``
+    (mast3r_utils.py:56-72). Returns (res1, res2) dicts."""
+    hooks1, hooks2 = decode(params, cfg, f1, pos1, f2, pos2)
+    res1 = downstream_head(params["head1"], cfg, hooks1, img_hw)
+    res2 = downstream_head(params["head2"], cfg, hooks2, img_hw)
+    return res1, res2
+
+
+def inference(params: Params, cfg: MASt3RConfig, img1: jax.Array, img2: jax.Array):
+    """Full two-view forward (``dust3r/model.py:198-210``), images NHWC."""
+    f1, pos1 = encode_image(params, cfg, img1)
+    f2, pos2 = encode_image(params, cfg, img2)
+    return decode_and_heads(params, cfg, f1, pos1, f2, pos2, img1.shape[1:3])
+
+
+def stack_xcdq(res11: Dict, res21: Dict):
+    """Stack one decode direction into the (2b, h, w, ·) X/C/D/Q layout used
+    by the SLAM layer (mast3r_utils.py:330-345)."""
+    X = jnp.concatenate([res11["pts3d"], res21["pts3d"]], axis=0)
+    C = jnp.concatenate([res11["conf"], res21["conf"]], axis=0)
+    D = jnp.concatenate([res11["desc"], res21["desc"]], axis=0)
+    Q = jnp.concatenate([res11["desc_conf"], res21["desc_conf"]], axis=0)
+    return X, C, D, Q

@@ -1,0 +1,290 @@
+"""Dense two-view pixel matching.
+
+TPU-native reimplementation of the reference matching stack:
+
+- :func:`iter_proj` — per-point 2-D Levenberg-Marquardt projection of target
+  rays onto a ray image (spec: ``matching_kernels.cu:128-325``).
+- :func:`refine_matches` — coarse-to-fine dilated window search maximizing a
+  descriptor dot product (spec: ``matching_kernels.cu:25-125``).
+- :func:`match` — the full pipeline with occlusion + score gating
+  (spec: ``mast3r_slam/matching.py:8-92``).
+
+All functions are vectorized ``jnp`` programs (XLA gathers); every step is
+fully traceable so the whole matcher jits into the tracking step. Shapes are
+static; validity is carried in masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .image import img_gradient
+
+
+def pixel_to_lin(p: jax.Array, w: int) -> jax.Array:
+    """(…, 2) [u, v] -> linear row-major index (matching.py:13-15)."""
+    return p[..., 0] + w * p[..., 1]
+
+
+def lin_to_pixel(idx: jax.Array, w: int) -> jax.Array:
+    """Linear index -> (…, 2) [u, v] (matching.py:18-22)."""
+    return jnp.stack([idx % w, idx // w], axis=-1)
+
+
+def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
+    """Build the 9-channel ray+gradient image and initial guesses
+    (matching.py:25-49).
+
+    X11, X21: (b, h, w, 3) canonical pointmaps.
+    Returns rays_with_grad (b, h, w, 9), pts3d_norm (b, h*w, 3),
+    p_init (b, h*w, 2) float.
+    """
+    b, h, w, _ = X11.shape
+    rays = X11 / jnp.linalg.norm(X11, axis=-1, keepdims=True)
+    gx, gy = img_gradient(rays)
+    rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)
+
+    X21_vec = X21.reshape(b, h * w, 3)
+    pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)
+
+    if idx_1_to_2_init is None:
+        idx_1_to_2_init = jnp.broadcast_to(jnp.arange(h * w)[None], (b, h * w))
+    p_init = lin_to_pixel(idx_1_to_2_init, w).astype(rays.dtype)
+    return rays_with_grad, pts3d_norm, p_init
+
+
+def _bilinear_gather(img_flat: jax.Array, u, v, w: int):
+    """Bilinear sample of (b, h*w, c) flattened image at float coords.
+
+    Assumes coords already clamped to [1, w-2] x [1, h-2] so all four corners
+    are in range (matching_kernels.cu:151-183).
+    """
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+
+    base = v0 * w + u0
+
+    def g(ind):
+        return jnp.take_along_axis(img_flat, ind[..., None], axis=1)
+
+    i00 = g(base)          # (u0, v0)
+    i10 = g(base + 1)      # (u0+1, v0)
+    i01 = g(base + w)      # (u0, v0+1)
+    i11 = g(base + w + 1)  # (u0+1, v0+1)
+
+    return (
+        i00 * (1 - du) * (1 - dv)
+        + i10 * du * (1 - dv)
+        + i01 * (1 - du) * dv
+        + i11 * du * dv
+    )
+
+
+def _ray_cost(rays_flat, u, v, w, target):
+    """Sampled-and-normalized ray error vs target (matching_kernels.cu:194-207)."""
+    r = _bilinear_gather(rays_flat, u, v, w)[..., :3]
+    r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+    err = r - target
+    return err, jnp.sum(err * err, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def iter_proj(
+    rays_with_grad_img: jax.Array,
+    pts3d_norm: jax.Array,
+    p_init: jax.Array,
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    cost_thresh: float = 1e-6,
+):
+    """LM iteration in pixel space minimizing ||ray(u,v) - target||^2.
+
+    Direct vectorization of ``iter_proj_kernel`` (matching_kernels.cu:128-284):
+    one lane per query point instead of one CUDA thread.
+
+    Args:
+        rays_with_grad_img: (b, h, w, 9) [ray(3), d(ray)/du(3), d(ray)/dv(3)].
+        pts3d_norm: (b, n, 3) unit target rays.
+        p_init: (b, n, 2) float initial pixel guesses.
+    Returns:
+        p_new (b, n, 2) float, converged (b, n) bool.
+    """
+    b, h, w, c = rays_with_grad_img.shape
+    flat = rays_with_grad_img.reshape(b, h * w, c)
+
+    u = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
+    v = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
+    lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
+    converged = jnp.zeros(u.shape, dtype=bool)
+
+    def body(_, state):
+        u, v, lam, converged = state
+        samp = _bilinear_gather(flat, u, v, w)
+        r = samp[..., 0:3]
+        gx = samp[..., 3:6]
+        gy = samp[..., 6:9]
+        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        err = r - pts3d_norm
+        cost = jnp.sum(err * err, axis=-1)
+
+        A00 = jnp.sum(gx * gx, axis=-1) + lam
+        A01 = jnp.sum(gx * gy, axis=-1)
+        A11 = jnp.sum(gy * gy, axis=-1) + lam
+        b0 = -jnp.sum(err * gx, axis=-1)
+        b1 = -jnp.sum(err * gy, axis=-1)
+
+        det_inv = 1.0 / (A00 * A11 - A01 * A01)
+        du = det_inv * (A11 * b0 - A01 * b1)
+        dv = det_inv * (-A01 * b0 + A00 * b1)
+
+        u_new = jnp.clip(u + du, 1.0, w - 2.0)
+        v_new = jnp.clip(v + dv, 1.0, h - 2.0)
+
+        _, new_cost = _ray_cost(flat, u_new, v_new, w, pts3d_norm)
+
+        accept = new_cost < cost
+        u = jnp.where(accept, u_new, u)
+        v = jnp.where(accept, v_new, v)
+        lam = jnp.where(accept, lam * 0.1, lam * 10.0)
+        converged = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
+        return u, v, lam, converged
+
+    u, v, lam, converged = jax.lax.fori_loop(
+        0, max_iter, body, (u, v, lam, converged)
+    )
+    return jnp.stack([u, v], axis=-1), converged
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches(
+    D11: jax.Array,
+    D21: jax.Array,
+    p1: jax.Array,
+    radius: int = 3,
+    dilation_max: int = 5,
+):
+    """Coarse-to-fine dilated descriptor search (matching_kernels.cu:25-85).
+
+    Args:
+        D11: (b, h, w, f) descriptor image.
+        D21: (b, n, f) query descriptors.
+        p1: (b, n, 2) int pixel guesses.
+    Returns:
+        p1_new (b, n, 2) int32, max_scores (b, n).
+    """
+    b, h, w, f = D11.shape
+    flat = D11.reshape(b, h * w, f)
+
+    u0 = p1[..., 0].astype(jnp.int32)
+    v0 = p1[..., 1].astype(jnp.int32)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=D11.dtype)
+    max_score = jnp.full(u0.shape, neg_inf, dtype=D11.dtype)
+    u_best = u0
+    v_best = v0
+
+    # The reference enumerates u-major within a level and keeps the running
+    # max strictly increasing; levels recenter the window at the current
+    # best. The per-level window is a lax.fori_loop over the (2r+1)^2
+    # offsets — unrolling all 5*(2r+1)^2 gathers (as a literal transcription
+    # would) makes an XLA program whose compile time blows up; each loop
+    # step still gathers the full (b, n) batch, so the device stays busy.
+    n_side = 2 * radius + 1
+
+    for d in range(dilation_max, 0, -1):  # static: levels recenter the window
+        rd = radius * d
+
+        def level_body(t, state, d=d, rd=rd):
+            u0_, v0_, u_b, v_b, ms = state
+            i = (t // n_side) * d
+            j = (t % n_side) * d
+            u = u0_ - rd + i
+            v = v0_ - rd + j
+            inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            uc = jnp.clip(u, 0, w - 1)
+            vc = jnp.clip(v, 0, h - 1)
+            desc = jnp.take_along_axis(flat, (vc * w + uc)[..., None], axis=1)
+            score = jnp.sum(desc * D21, axis=-1)
+            score = jnp.where(inside, score, neg_inf)
+            better = score > ms
+            return (
+                u0_,
+                v0_,
+                jnp.where(better, u, u_b),
+                jnp.where(better, v, v_b),
+                jnp.where(better, score, ms),
+            )
+
+        _, _, u_best, v_best, max_score = jax.lax.fori_loop(
+            0, n_side * n_side, level_body, (u0, v0, u_best, v_best, max_score)
+        )
+        u0, v0 = u_best, v_best
+
+    return jnp.stack([u_best, v_best], axis=-1), max_score
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "radius",
+        "dilation_max",
+    ),
+)
+def match(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    idx_1_to_2_init=None,
+    *,
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    convergence_thresh: float = 1e-6,
+    dist_thresh: float = 1e-1,
+    radius: int = 3,
+    dilation_max: int = 5,
+    ft_matching_threshold: float = 0.8,
+):
+    """Full matcher (match_iterative_proj, matching.py:52-92).
+
+    X11/X21: (b, h, w, 3) pointmaps; D11/D21: (b, h, w, f) descriptors.
+    Returns idx_1_to_2 (b, h*w) int32 and valid (b, h*w, 1) bool.
+    """
+    b, h, w = X21.shape[:3]
+
+    rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
+        X11, X21, idx_1_to_2_init
+    )
+    p1, valid_proj2 = iter_proj(
+        rays_with_grad,
+        pts3d_norm,
+        p_init,
+        max_iter=max_iter,
+        lambda_init=lambda_init,
+        cost_thresh=convergence_thresh,
+    )
+    p1 = jnp.floor(p1).astype(jnp.int32)  # torch .long() truncation
+
+    # Occlusion gate: 3D distance between matched points (matching.py:71-76)
+    X11_flat = X11.reshape(b, h * w, 3)
+    matched = jnp.take_along_axis(
+        X11_flat, pixel_to_lin(p1, w)[..., None], axis=1
+    )
+    dists2 = jnp.linalg.norm(matched - X21.reshape(b, h * w, 3), axis=-1)
+    valid_proj2 = valid_proj2 & (dists2 < dist_thresh)
+
+    if radius > 0:
+        p1, scores = refine_matches(
+            D11, D21.reshape(b, h * w, -1), p1, radius=radius, dilation_max=dilation_max
+        )
+        valid_proj2 = valid_proj2 & (scores > ft_matching_threshold)
+
+    idx_1_to_2 = pixel_to_lin(p1, w)
+    return idx_1_to_2, valid_proj2[..., None]

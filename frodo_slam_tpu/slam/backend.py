@@ -1,0 +1,272 @@
+"""Backend orchestration: factor-graph bookkeeping around the jitted solver.
+
+Behavioral spec: ``mast3r_slam/global_opt.py`` ``FactorGraph`` host logic —
+``add_factors`` edge gating (:69-141), ``add_odometry_factors`` (:55-67),
+ring-buffer edge eviction ``_materialise_edges`` (:143-178), unique-window
+construction + pin semantics (:180-224, gn_kernels.cu:208-212) — and the
+backend worker loop of ``vio.py:75-161``.
+
+TPU design: edges live in fixed-capacity padded device arrays (Edges /
+OdomEdges); the host keeps tiny mirrors (python lists of (ii, jj) ints) to
+decide gating, eviction and window membership — decisions the reference also
+makes on the host. The heavy parts (symmetric decode+match batch, GN solve)
+are the jitted programs in inference.py / global_opt.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import frame as frame_mod
+from .frame import KeyframeStore
+from .global_opt import BAConfig, Edges, OdomEdges, empty_edges, empty_odom_edges, solve_gn_rays
+from .inference import match_symmetric
+
+
+class BackendGraph:
+    """Host-side factor graph over a KeyframeStore."""
+
+    def __init__(self, params, model_cfg, cfg: BAConfig, match_cfg: tuple,
+                 img_hw: Tuple[int, int], max_edges: int = 64, max_odom: int = 64,
+                 Q_conf: float = 1.5, min_match_frac: float = 0.1):
+        self.params = params
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.match_cfg = match_cfg
+        self.img_hw = img_hw
+        self.hw = img_hw[0] * img_hw[1]
+        self.Q_conf = Q_conf
+        self.min_match_frac = min_match_frac
+
+        self.max_edges = max_edges
+        self.edges = empty_edges(2 * max_edges, self.hw)  # two directed rows/pair
+        self.odom = empty_odom_edges(max_odom)
+        # host mirrors: logical keyframe indices per stored pair / odom edge
+        self._pairs: List[Tuple[int, int]] = []
+        self._odom_pairs: List[Tuple[int, int]] = []
+        self._n_odom = 0
+
+    def reset(self):
+        self.edges = empty_edges(2 * self.max_edges, self.hw)
+        self.odom = empty_odom_edges(self.odom.ii.shape[0])
+        self._pairs = []
+        self._odom_pairs = []
+        self._n_odom = 0
+
+    # -- edge insertion ----------------------------------------------------
+
+    def add_odometry_factors(self, ii: int, jj: int, delta_T: np.ndarray):
+        """(global_opt.py:55-67): delta_T is the measured SE3 T_ii_jj."""
+        slot = self._n_odom % self.odom.ii.shape[0]
+        self.odom = OdomEdges(
+            ii=self.odom.ii.at[slot].set(ii),
+            jj=self.odom.jj.at[slot].set(jj),
+            delta_T=self.odom.delta_T.at[slot].set(jnp.asarray(delta_T[:7])),
+            active=self.odom.active.at[slot].set(True),
+        )
+        if slot < len(self._odom_pairs):
+            self._odom_pairs[slot] = (ii, jj)
+        else:
+            self._odom_pairs.append((ii, jj))
+        self._n_odom += 1
+
+    def add_factors(self, store: KeyframeStore, ii: List[int], jj: List[int],
+                    min_match_frac: Optional[float] = None, is_reloc: bool = False) -> bool:
+        """Batched symmetric decode + match + bidirectional gating
+        (global_opt.py:69-141). ``ii``/``jj`` are logical keyframe indices.
+
+        Returns True if any edge was accepted (False aborts a reloc attempt,
+        :117-119).
+        """
+        if not ii:
+            return False
+        mmf = self.min_match_frac if min_match_frac is None else min_match_frac
+        slots_i = [int(i) % store.capacity for i in ii]
+        slots_j = [int(j) % store.capacity for j in jj]
+        feat_i = store.feat[jnp.asarray(slots_i)]
+        feat_j = store.feat[jnp.asarray(slots_j)]
+        pos = jnp.broadcast_to(store.pos[None], (len(ii), *store.pos.shape))
+
+        (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+         Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = match_symmetric(
+            self.params, self.model_cfg, dict(self.match_cfg),
+            feat_i, pos, feat_j, pos, self.img_hw,
+        )
+
+        # combined confidences (upstream semantics, global_opt_bk0.py:107-147)
+        bi = jnp.arange(idx_i2j.shape[0])[:, None]
+        Qj = jnp.sqrt(Qii[bi, idx_i2j] * Qji)
+        Qi = jnp.sqrt(Qjj[bi, idx_j2i] * Qij)
+        valid_j = valid_match_j & (Qj > self.Q_conf)
+        valid_i = valid_match_i & (Qi > self.Q_conf)
+        match_frac_j = np.asarray(valid_j.mean(axis=(1, 2)))
+        match_frac_i = np.asarray(valid_i.mean(axis=(1, 2)))
+
+        added = False
+        for n, (i, j) in enumerate(zip(ii, jj)):
+            consecutive = i == j - 1
+            bad = min(match_frac_j[n], match_frac_i[n]) < mmf
+            if bad and is_reloc:
+                return False
+            if bad and not consecutive:
+                continue
+            self._insert_pair(
+                i, j,
+                idx_i2j[n], idx_j2i[n],
+                valid_j[n, :, 0], valid_i[n, :, 0],
+                Qj[n, :, 0], Qi[n, :, 0],
+            )
+            added = True
+        return added
+
+    def _insert_pair(self, i, j, idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi):
+        """Write the two directed rows of pair (i, j) into the padded arrays;
+        evict the oldest pair when full (ring semantics)."""
+        pair_slot = len(self._pairs)
+        if pair_slot >= self.max_edges:
+            # evict oldest non-consecutive first, else oldest
+            evict = 0
+            for k, (pi, pj) in enumerate(self._pairs):
+                if pi != pj - 1:
+                    evict = k
+                    break
+            self._pairs.pop(evict)
+            self._shift_rows(evict)
+            pair_slot = len(self._pairs)
+        self._pairs.append((int(i), int(j)))
+        r0, r1 = 2 * pair_slot, 2 * pair_slot + 1
+        e = self.edges
+        self.edges = Edges(
+            ii=e.ii.at[r0].set(int(i)).at[r1].set(int(j)),
+            jj=e.jj.at[r0].set(int(j)).at[r1].set(int(i)),
+            idx=e.idx.at[r0].set(idx_i2j.astype(jnp.int32)).at[r1].set(idx_j2i.astype(jnp.int32)),
+            valid=e.valid.at[r0].set(valid_j).at[r1].set(valid_i),
+            Q=e.Q.at[r0].set(Qj).at[r1].set(Qi),
+            active=e.active.at[r0].set(True).at[r1].set(True),
+        )
+
+    def _shift_rows(self, pair_idx: int):
+        """Compact padded rows after evicting pair ``pair_idx`` (host-rare)."""
+        n = len(self._pairs) + 1  # before pop accounting handled by caller
+        e = self.edges
+
+        def shift(a):
+            rows = jnp.concatenate(
+                [a[: 2 * pair_idx], a[2 * pair_idx + 2 :], jnp.zeros_like(a[:2])], axis=0
+            )
+            return rows
+
+        self.edges = Edges(*[shift(getattr(e, f)) for f in Edges._fields])
+        del n
+
+    def remove_dead_edges(self, oldest_alive: int):
+        """Drop edges touching overwritten ring slots (_materialise_edges,
+        global_opt.py:143-178)."""
+        keep = [k for k, (i, j) in enumerate(self._pairs) if i >= oldest_alive and j >= oldest_alive]
+        if len(keep) == len(self._pairs):
+            pass
+        else:
+            e = self.edges
+            rows = []
+            for k in keep:
+                rows += [2 * k, 2 * k + 1]
+            idx = jnp.asarray(rows, jnp.int32) if rows else jnp.zeros((0,), jnp.int32)
+
+            def gather_pad(a):
+                out = jnp.zeros_like(a)
+                if rows:
+                    out = out.at[: len(rows)].set(a[idx])
+                return out
+
+            self.edges = Edges(*[gather_pad(getattr(e, f)) for f in Edges._fields])
+            self._pairs = [self._pairs[k] for k in keep]
+        # odometry edges
+        keep_o = [k for k, (i, j) in enumerate(self._odom_pairs) if i >= oldest_alive and j >= oldest_alive]
+        if len(keep_o) != len(self._odom_pairs):
+            o = self.odom
+            idx = jnp.asarray(keep_o, jnp.int32) if keep_o else jnp.zeros((0,), jnp.int32)
+
+            def gather_pad_o(a):
+                out = jnp.zeros_like(a)
+                if keep_o:
+                    out = out.at[: len(keep_o)].set(a[idx])
+                return out
+
+            self.odom = OdomEdges(*[gather_pad_o(getattr(o, f)) for f in OdomEdges._fields])
+            self._odom_pairs = [self._odom_pairs[k] for k in keep_o]
+            self._n_odom = len(self._odom_pairs)
+
+    # -- solve ---------------------------------------------------------------
+
+    def unique_kf_idx(self) -> List[int]:
+        s = sorted({k for p in self._pairs for k in p})
+        return s
+
+    def solve_GN_rays(self, store: KeyframeStore, s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
+        """Build the compacted pose window, run the jitted GN, write poses
+        back (global_opt.py:226-286)."""
+        oldest_alive = max(0, int(store.n_total) - store.capacity)
+        self.remove_dead_edges(oldest_alive)
+        uniq = self.unique_kf_idx()
+        if len(uniq) <= self.cfg.pin:
+            return store
+
+        # pad window to a bucket size to bound recompiles
+        p = len(uniq)
+        bucket = 8
+        while bucket < p:
+            bucket *= 2
+        pad = bucket - p
+        kf_to_win = {k: n for n, k in enumerate(uniq)}
+
+        slots = jnp.asarray([k % store.capacity for k in uniq] + [uniq[-1] % store.capacity] * pad)
+        T_win = store.T_WC[slots]
+        X_win = store.X_canon[slots]
+        C_win = store.C[slots] / jnp.maximum(store.N[slots], 1)[:, None, None].astype(store.C.dtype)
+
+        def remap(arr, pairs, fallback):
+            vals = []
+            for n in range(arr.shape[0]):
+                if n // 2 < len(pairs) if fallback == "edge" else n < len(pairs):
+                    pass
+                vals.append(0)
+            return vals
+
+        # edge indices -> window positions (padded rows point at 0 but are inactive)
+        e_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(self.edges.ii)]
+        e_jj = [kf_to_win.get(int(v), 0) for v in np.asarray(self.edges.jj)]
+        edges_win = self.edges._replace(
+            ii=jnp.asarray(e_ii, jnp.int32), jj=jnp.asarray(e_jj, jnp.int32)
+        )
+        o_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(self.odom.ii)]
+        o_jj = [kf_to_win.get(int(v), 0) for v in np.asarray(self.odom.jj)]
+        # odometry rows whose endpoints fell out of the window are disabled
+        o_act = [
+            bool(a) and int(i) in kf_to_win and int(j) in kf_to_win
+            for a, i, j in zip(
+                np.asarray(self.odom.active), np.asarray(self.odom.ii), np.asarray(self.odom.jj)
+            )
+        ]
+        odom_win = self.odom._replace(
+            ii=jnp.asarray(o_ii, jnp.int32),
+            jj=jnp.asarray(o_jj, jnp.int32),
+            active=jnp.asarray(o_act),
+        )
+
+        sb = jnp.full((bucket,), -1.0, jnp.float32)
+        if s_bar is not None:
+            vals = [float(s_bar[k]) if k < len(s_bar) else -1.0 for k in uniq] + [-1.0] * pad
+            sb = jnp.asarray(vals, jnp.float32)
+
+        T_new = solve_gn_rays(self.cfg, self.cfg.pin, T_win, X_win, C_win, edges_win, odom_win, sb)
+
+        # write back the free poses (global_opt.py:285-286)
+        free = uniq[self.cfg.pin : p]
+        if free:
+            free_slots = jnp.asarray([k % store.capacity for k in free])
+            store = frame_mod.kf_update_T_WCs(store, T_new[self.cfg.pin : p], free_slots)
+        return store

@@ -1,0 +1,359 @@
+"""Backend global bundle adjustment: Sim(3) factor graph over keyframes.
+
+Behavioral spec:
+- edge construction / gating: ``mast3r_slam/global_opt.py`` ``FactorGraph``
+  (:15-178) with the *upstream* per-edge confidence storage of
+  ``global_opt_bk0.py:107-147`` (the fork's maintained file stores raw ``Qij``
+  where upstream stores the combined ``sqrt(Qii[idx]*Qji)``; we follow
+  upstream — it is the quantity the solver's gating was designed for);
+- ray-alignment residual/Jacobian: ``backend/src/gn_kernels.cu:576-907``
+  (``ray_align_kernel``);
+- odometry SE(3)-log constraint: ``gn_kernels.cu:1106-1290``
+  (``odom_constraint_kernel_left_perturb_log``, the variant the host driver
+  launches at :1868);
+- scale prior: ``gn_kernels.cu:1716-1790`` (``apply_scale_prior_cpu``);
+- outer driver: ``gauss_newton_rays_odom_cuda`` (:1792-1934) /
+  ``gauss_newton_rays_cuda`` (:909-995).
+
+TPU design. The reference launches one CUDA block per edge, scatters 7x7
+blocks into an Eigen sparse matrix on the *CPU* and Cholesky-solves there,
+round-tripping device<->host every GN iteration (gn_kernels.cu:74-76,
+191-196). Here the whole GN loop is ONE jitted program: per-edge Hessian
+blocks come from a batched einsum (MXU), are scattered into a dense
+(7P x 7P) system with ``segment_sum``-style index adds, and solved with an
+on-device Cholesky — no host round trip. P <= 300 poses makes the dense
+solve trivial next to the decoder FLOPs.
+
+A key algebraic simplification vs the CUDA kernel: since ``Ji = -Jj``
+(gn_kernels.cu:769, the kernel negates row-by-row), the 14x14 per-edge
+Hessian is [[A, -A], [-A, A]] with ``A = M^T B M``, where B is the
+7x7 Gram matrix of the *relative-pose* Jacobian and M = Adj(T_i)^{-1}.
+We therefore only reduce B (7x7) over the HW points and do two 7x7 matmuls,
+instead of reducing a 14x14 over points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.robust import huber
+
+
+class BAConfig(NamedTuple):
+    """Static BA parameters (config/base.yaml:40-56 ``local_opt``)."""
+
+    max_iters: int = 10
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    delta_norm: float = 1e-8
+    pin: int = 1
+    # frodo odometry-mode overrides (global_opt.py:254-258 hard-codes these
+    # when odometry factors are present)
+    sigma_odom_t: float = 1e-3
+    sigma_odom_r: float = 1e-3
+    sigma_scale_prior: float = 0.1
+    pixel_border: float = -10.0
+    depth_eps: float = 1e-6
+
+
+class Edges(NamedTuple):
+    """Padded directed visual edges (two rows per keyframe pair).
+
+    ii/jj index into the *window* pose arrays. ``idx``: for each pixel k of
+    frame jj, the matched linear pixel in frame ii. ``valid`` already folds
+    the match validity AND the Q gate computed at insertion (upstream
+    semantics, global_opt_bk0.py:117-147). ``Q`` is the combined confidence
+    sqrt(Q_ii[idx]*Q_ji).
+    """
+
+    ii: jax.Array  # (E,) int32
+    jj: jax.Array  # (E,) int32
+    idx: jax.Array  # (E, HW) int32
+    valid: jax.Array  # (E, HW) bool
+    Q: jax.Array  # (E, HW) f32
+    active: jax.Array  # (E,) bool
+
+
+class OdomEdges(NamedTuple):
+    ii: jax.Array  # (O,) int32
+    jj: jax.Array  # (O,) int32
+    delta_T: jax.Array  # (O, 7) SE3 measured T_ij
+    active: jax.Array  # (O,) bool
+
+
+def empty_edges(e_max: int, hw: int) -> Edges:
+    return Edges(
+        ii=jnp.zeros((e_max,), jnp.int32),
+        jj=jnp.zeros((e_max,), jnp.int32),
+        idx=jnp.zeros((e_max, hw), jnp.int32),
+        valid=jnp.zeros((e_max, hw), bool),
+        Q=jnp.zeros((e_max, hw), jnp.float32),
+        active=jnp.zeros((e_max,), bool),
+    )
+
+
+def empty_odom_edges(o_max: int) -> OdomEdges:
+    ident = jnp.concatenate([jnp.zeros((6,)), jnp.ones((1,))])
+    return OdomEdges(
+        ii=jnp.zeros((o_max,), jnp.int32),
+        jj=jnp.zeros((o_max,), jnp.int32),
+        delta_T=jnp.broadcast_to(ident, (o_max, 7)),
+        active=jnp.zeros((o_max,), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-edge Hessian blocks
+# ---------------------------------------------------------------------------
+
+def _adj_inv_matrix(T: jax.Array) -> jax.Array:
+    """7x7 matrix M with ``row @ M == sim3_apply_adj_inv(T, row)``."""
+    eye = jnp.eye(7, dtype=T.dtype)
+    return jax.vmap(lambda e: lie.sim3_apply_adj_inv(T, e))(eye)
+
+
+def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q):
+    """One directed edge -> (A (7,7), gj (7,)) with H = [[A,-A],[-A,A]],
+    g = (-gj, gj). Mirrors ray_align_kernel (gn_kernels.cu:576-907)."""
+    Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
+    Tij = lie.sim3_rel(Ti, Tj)
+
+    Xi = X[edge_ii][idx]  # (HW, 3) matched measurement points in frame i
+    Ci = C[edge_ii][idx, 0]
+    Xj = X[edge_jj]  # (HW, 3)
+    Cj = C[edge_jj][:, 0]
+
+    norm_i = jnp.linalg.norm(Xi, axis=-1)
+    ri = Xi / norm_i[:, None]
+
+    P = lie.sim3_act(Tij, Xj)  # Xj in frame i
+    norm_j = jnp.linalg.norm(P, axis=-1)
+    nj_inv = 1.0 / norm_j
+    rj = P * nj_inv[:, None]
+
+    err = jnp.concatenate([rj - ri, (norm_j - norm_i)[:, None]], axis=-1)  # (HW,4)
+
+    ok = valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
+    okf = ok.astype(X.dtype)
+    sqrt_w = jnp.stack(
+        [okf * jnp.sqrt(Q) / cfg.sigma_ray] * 3 + [okf * jnp.sqrt(Q) / cfg.sigma_dist],
+        axis=-1,
+    )  # (HW, 4)
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w  # (HW, 4)
+
+    # relative-pose Jacobian (HW, 4, 7): rows [dr/dP | -skew(rj) | 0] and
+    # [rj | 0 | |P|] (gn_kernels.cu:749-858)
+    eye3 = jnp.eye(3, dtype=X.dtype)
+    dnorm = nj_inv[:, None, None] * (eye3 - rj[:, :, None] * rj[:, None, :])  # (HW,3,3)
+    from ..ops.lie import skew
+
+    Jrel_ray = jnp.concatenate(
+        [dnorm, -skew(rj), jnp.zeros_like(rj)[..., None]], axis=-1
+    )  # (HW, 3, 7)
+    Jrel_dist = jnp.concatenate(
+        [rj, jnp.zeros_like(rj), norm_j[:, None]], axis=-1
+    )[:, None, :]  # (HW, 1, 7)
+    Jrel = jnp.concatenate([Jrel_ray, Jrel_dist], axis=1)  # (HW, 4, 7)
+
+    B = jnp.einsum("kd,kdm,kdn->mn", w, Jrel, Jrel)  # (7,7)
+    g_rel = jnp.einsum("kd,kd,kdm->m", w, err, Jrel)  # (7,)
+
+    M = _adj_inv_matrix(Ti)
+    A = M.T @ B @ M
+    gj = M.T @ g_rel
+    return A, gj
+
+
+# NOTE on _adj_inv_matrix orientation: with M[n] = sim3_apply_adj_inv(Ti, e_n)
+# the row-covector map is Jj = Jrel @ M (checked against finite differences in
+# tests/test_global_opt.py::test_edge_jacobian_fd). Then A = Jj^T W Jj =
+# M^T (Jrel^T W Jrel) M = M^T B M and gj = M^T g_rel.
+
+
+def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
+    """Odometry SE(3)-log constraint (gn_kernels.cu:1106-1290).
+
+    Returns (H_full (14,14), g_full (14,)) ordered (pose_i, pose_j).
+    """
+    Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
+    Ri = lie.quat_to_R(lie.sim3_q(Ti))
+    Rj = lie.quat_to_R(lie.sim3_q(Tj))
+    Rm = lie.quat_to_R(delta_T[3:7])
+    tm = delta_T[:3]
+
+    # predicted SE(3): R_ij = Ri^T Rj, t' = (1/s_j) Ri^T (tj - ti)
+    # (gn_kernels.cu:1144-1177; note the reference divides by s_j)
+    Rij = Ri.T @ Rj
+    sj = lie.sim3_s(Tj)[0]
+    sj_inv = jnp.where(sj == 0.0, 1e6, 1.0 / sj)
+    t_pred = sj_inv * (Ri.T @ (lie.sim3_t(Tj) - lie.sim3_t(Ti)))
+
+    # error transform T_err = T_meas^-1 * T_pred
+    R_err = Rm.T @ Rij
+    t_err = Rm.T @ t_pred - Rm.T @ tm
+
+    q_err = lie.R_to_quat(R_err)
+    r = lie.se3_log(jnp.concatenate([t_err, q_err]))  # (6,) [rho, phi]
+
+    info_t = 1.0 / (cfg.sigma_odom_t**2)
+    info_r = 1.0 / (cfg.sigma_odom_r**2)
+    w = jnp.concatenate(
+        [
+            info_t * huber(r[:3] / cfg.sigma_odom_t),
+            info_r * huber(r[3:] / cfg.sigma_odom_r),
+        ]
+    )  # (6,)
+
+    # Jacobian approx: J_j ~ Ad(T_j^-1) on [t, theta] + scale column
+    # (gn_kernels.cu:1193-1237)
+    tj_inv = -(Rj.T @ lie.sim3_t(Tj))
+    Jj = jnp.zeros((6, 7))
+    Jj = Jj.at[0:3, 0:3].set(Rj.T)
+    Jj = Jj.at[0:3, 3:6].set(lie.skew(tj_inv) @ Rj.T)
+    Jj = Jj.at[3:6, 3:6].set(Rj.T)
+    Jj = Jj.at[0:3, 6].set(-(Rm.T @ t_pred))
+    Ji = -Jj
+    Ji = Ji.at[:, 6].set(0.0)  # d/ds_i = 0 (gn_kernels.cu:1233-1237)
+
+    J = jnp.concatenate([Ji, Jj], axis=-1)  # (6, 14)
+    H = J.T @ (w[:, None] * J)
+    g = J.T @ (w * r)
+    return H, g
+
+
+# ---------------------------------------------------------------------------
+# GN solver
+# ---------------------------------------------------------------------------
+
+def _scatter_block(H, g, blocks, gvecs, ii_opt, jj_opt, p_opt):
+    """Add per-edge 7x7 blocks into the dense (7P,7P) system; negative opt
+    indices (pinned poses) are masked out (SparseBlock semantics,
+    gn_kernels.cu:83-122)."""
+    mask = ((ii_opt >= 0) & (jj_opt >= 0)).astype(H.dtype)
+    i_safe = jnp.maximum(ii_opt, 0)
+    j_safe = jnp.maximum(jj_opt, 0)
+    H = H.reshape(p_opt, 7, p_opt, 7)
+    H = H.at[i_safe, :, j_safe, :].add(mask[:, None, None] * blocks)
+    H = H.reshape(p_opt * 7, p_opt * 7)
+    if gvecs is not None:
+        gmask = (ii_opt >= 0).astype(g.dtype)
+        g = g.reshape(p_opt, 7)
+        g = g.at[i_safe].add(gmask[:, None] * gvecs)
+        g = g.reshape(p_opt * 7)
+    return H, g
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fix"))
+def solve_gn_rays(
+    cfg: BAConfig,
+    num_fix: int,
+    T_WC: jax.Array,  # (P, 8) window poses
+    X: jax.Array,  # (P, HW, 3)
+    C: jax.Array,  # (P, HW, 1)
+    edges: Edges,
+    odom: OdomEdges,
+    s_bar: jax.Array,  # (P,) scale-prior targets, <=0 disables (global_opt.py:212-224)
+):
+    """Global ray-alignment GN with odometry factors and scale priors.
+
+    One jitted program reproducing gauss_newton_rays_odom_cuda
+    (gn_kernels.cu:1792-1934). Returns updated (P, 8) poses.
+    """
+    p = T_WC.shape[0]
+    p_opt = p - num_fix
+
+    def iteration(T_WC_in):
+        # visual edges
+        def one_edge(e):
+            A, gj = _ray_edge_system(
+                cfg, X, C, T_WC_in, edges.ii[e], edges.jj[e], edges.idx[e],
+                edges.valid[e] & edges.active[e], edges.Q[e],
+            )
+            return A, gj
+
+        A_all, gj_all = jax.lax.map(one_edge, jnp.arange(edges.ii.shape[0]))
+        amask = edges.active.astype(A_all.dtype)[:, None, None]
+        A_all = A_all * amask
+        gj_all = gj_all * amask[..., 0]
+
+        ii_opt = edges.ii - num_fix
+        jj_opt = edges.jj - num_fix
+
+        H = jnp.zeros((p_opt * 7, p_opt * 7), A_all.dtype)
+        g = jnp.zeros((p_opt * 7,), A_all.dtype)
+        # Ji = -Jj => H_ii = H_jj = A (symmetric), H_ij = H_ji = -A;
+        # g_i = -gj, g_j = gj (gn_kernels.cu:769, 863-906)
+        H, g = _scatter_block(H, g, A_all, -gj_all, ii_opt, ii_opt, p_opt)
+        H, _ = _scatter_block(H, None, -A_all, None, ii_opt, jj_opt, p_opt)
+        H, _ = _scatter_block(H, None, -A_all, None, jj_opt, ii_opt, p_opt)
+        H, g = _scatter_block(H, g, A_all, gj_all, jj_opt, jj_opt, p_opt)
+
+        # odometry edges
+        def one_odom(o):
+            Ho, go = _odom_edge_system(cfg, T_WC_in, odom.ii[o], odom.jj[o], odom.delta_T[o])
+            m = odom.active[o].astype(Ho.dtype)
+            return Ho * m, go * m
+
+        Ho_all, go_all = jax.lax.map(one_odom, jnp.arange(odom.ii.shape[0]))
+        oi_opt = odom.ii - num_fix
+        oj_opt = odom.jj - num_fix
+        H, g = _scatter_block(H, g, Ho_all[:, :7, :7], go_all[:, :7], oi_opt, oi_opt, p_opt)
+        H, _ = _scatter_block(H, None, Ho_all[:, :7, 7:], None, oi_opt, oj_opt, p_opt)
+        H, _ = _scatter_block(H, None, Ho_all[:, 7:, :7], None, oj_opt, oi_opt, p_opt)
+        H, g = _scatter_block(H, g, Ho_all[:, 7:, 7:], go_all[:, 7:], oj_opt, oj_opt, p_opt)
+
+        # scale priors: r = log(s_i / s_bar_i), unit Jacobian on the scale DoF
+        # (gn_kernels.cu:1716-1790)
+        info_sp = jnp.asarray(1.0 / (cfg.sigma_scale_prior**2), H.dtype)
+        s = T_WC_in[:, 7]
+        sp_valid = (s_bar > 1e-6) & (s > 1e-6)
+        sp_valid = sp_valid & (jnp.arange(p) >= num_fix)
+        r_s = jnp.where(sp_valid, jnp.log(jnp.maximum(s, 1e-12) / jnp.maximum(s_bar, 1e-12)), 0.0)
+        diag_idx = (jnp.arange(p_opt)) * 7 + 6
+        sp_w = jnp.where(sp_valid[num_fix:], info_sp, 0.0)
+        H = H.at[diag_idx, diag_idx].add(sp_w)
+        g = g.at[diag_idx].add(sp_w * r_s[num_fix:])
+
+        # solve in f64 (the reference solves in double on the CPU,
+        # gn_kernels.cu:163-199); zero update on failure. A tiny Tikhonov
+        # term (the reference's ep/lm hooks, gn_kernels.cu:163-167) keeps
+        # unconstrained DoFs harmlessly at zero instead of failing the whole
+        # factorization.
+        H64 = H.astype(jnp.float64)
+        g64 = g.astype(jnp.float64)
+        damp = 1e-8 * jnp.maximum(jnp.max(jnp.diag(H64)), 1.0)
+        H64 = H64 + damp * jnp.eye(H64.shape[0], dtype=jnp.float64)
+        L = jnp.linalg.cholesky(H64)
+        ok = jnp.all(jnp.isfinite(L))
+        L = jnp.where(ok, L, jnp.eye(H64.shape[0], dtype=jnp.float64))
+        dx = -jax.scipy.linalg.cho_solve((L, True), g64)
+        dx = jnp.where(ok, dx, 0.0).reshape(p_opt, 7).astype(T_WC_in.dtype)
+
+        # retract non-fixed poses (pose_retr_kernel, gn_kernels.cu:482-560)
+        T_free = jax.vmap(lie.sim3_retr)(T_WC_in[num_fix:], dx)
+        T_out = T_WC_in.at[num_fix:].set(T_free)
+        return T_out, jnp.linalg.norm(dx.reshape(-1))
+
+    def cond(state):
+        T, it, dn = state
+        return (it < cfg.max_iters) & (dn >= cfg.delta_norm)
+
+    def body(state):
+        T, it, dn = state
+        T_new, dn_new = iteration(T)
+        return (T_new, it + 1, dn_new)
+
+    T_final, _, _ = jax.lax.while_loop(
+        cond, body, (T_WC, jnp.asarray(0), jnp.asarray(jnp.inf, jnp.float32))
+    )
+    return T_final

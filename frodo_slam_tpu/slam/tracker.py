@@ -1,0 +1,279 @@
+"""Frame-to-keyframe tracker: dense matching + Sim(3) Gauss-Newton.
+
+Behavioral spec: ``mast3r_slam/tracker.py`` — ``FrameTracker.track``
+(:161-368), ``opt_pose_ray_dist_sim3`` (:414-465), ``opt_pose_calib_sim3``
+(:467-517), ``solve`` (:397-412), ``get_points_poses`` (:370-395).
+
+TPU design: the whole per-frame step (decode -> match -> gate -> GN -> KF
+pointmap update -> new-KF decision + conditional append) is ONE jitted
+program with static shapes. Where the reference gathers the valid subset of
+points (tracker.py:297-300), we keep all HW points and zero their
+information weights — the normal equations are identical and the shapes stay
+static. The <=50-iteration GN runs as a ``lax.while_loop`` with the
+reference's convergence test; the 7x7 solve is a Cholesky on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.geometry import (
+    act_Sim3,
+    constrain_points_to_ray,
+    get_pixel_coords,
+    point_to_ray_dist,
+    project_calib,
+)
+from ..ops.robust import huber
+from . import frame as frame_mod
+from .frame import Frame, KeyframeStore
+from .inference import match_asymmetric
+
+
+class TrackingCfg(NamedTuple):
+    """Static tracking parameters (config/base.yaml:18-38)."""
+
+    min_match_frac: float = 0.1
+    max_iters: int = 50
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    rel_error: float = 1e-3
+    delta_norm: float = 1e-3
+    huber_k: float = 1.345
+    match_frac_thresh: float = 0.333
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    pixel_border: float = -10.0
+    depth_eps: float = 1e-6
+    filtering_mode: str = "weighted_pointmap"
+    use_calib: bool = False
+
+
+class TrackResult(NamedTuple):
+    match_frac: jax.Array  # scalar f32 — for the host skip decision
+    ok: jax.Array  # bool: Cholesky finite (tracker.py:314-316 analogue)
+    new_kf: jax.Array  # bool: unique-match fraction below threshold
+    T_WCf: jax.Array  # (8,) tracked pose
+    T_CkCf: jax.Array  # (8,) relative pose
+    idx_f2k: jax.Array  # (1, HW) for warm-starting the next frame's matcher
+
+
+# ---------------------------------------------------------------------------
+# dense 7x7 Gauss-Newton (tracker.py:397-412 solve + 414-517 loops)
+# ---------------------------------------------------------------------------
+
+def _solve_step(sqrt_info, r, J, huber_k):
+    """Whiten, robustify, build 7x7 normal equations, solve.
+
+    sqrt_info, r: (n, d); J: (n, d, 7). Returns (tau (7,), cost, ok).
+    """
+    whitened_r = sqrt_info * r
+    robust_sqrt_info = sqrt_info * jnp.sqrt(huber(whitened_r, huber_k))
+    A = (robust_sqrt_info[..., None] * J).reshape(-1, 7)
+    b = (robust_sqrt_info * r).reshape(-1)
+    H = A.T @ A
+    g = -(A.T @ b)
+    cost = 0.5 * jnp.dot(b, b)
+
+    L, ok = _safe_cholesky(H)
+    tau = jax.scipy.linalg.cho_solve((L, True), g)
+    tau = jnp.where(ok, tau, jnp.zeros_like(tau))
+    return tau, cost, ok
+
+
+def _safe_cholesky(H):
+    L = jnp.linalg.cholesky(H)
+    ok = jnp.all(jnp.isfinite(L))
+    return jnp.where(ok, L, jnp.eye(H.shape[0], dtype=H.dtype)), ok
+
+
+def _gn_loop(cfg: TrackingCfg, T_init, residual_fn):
+    """Shared GN driver: ``residual_fn(T) -> (sqrt_info, r, J)``.
+
+    Reproduces the convergence test of nonlinear_optimizer.py:5-25 inside a
+    ``lax.while_loop``.
+    """
+
+    def cond(state):
+        T, old_cost, step, done, ok = state
+        return (step < cfg.max_iters) & (~done) & ok
+
+    def body(state):
+        T, old_cost, step, done, ok_all = state
+        sqrt_info, r, J = residual_fn(T)
+        tau, new_cost, ok = _solve_step(sqrt_info, r, J, cfg.huber_k)
+        new_cost = new_cost.astype(old_cost.dtype)
+        tau = tau.astype(T.dtype)
+        T_new = lie.sim3_retr(T, tau)  # left retraction, lietorch Sim3.retr
+        rel = jnp.abs(new_cost - old_cost) / jnp.maximum(new_cost, 1e-12)
+        dn = jnp.linalg.norm(tau)
+        converged = (step > 0) & ((rel < cfg.rel_error) | (dn < cfg.delta_norm))
+        return (T_new, new_cost, step + 1, converged, ok_all & ok)
+
+    init = (T_init, jnp.asarray(jnp.inf, T_init.dtype), jnp.asarray(0), jnp.asarray(False), jnp.asarray(True))
+    T, _, _, _, ok = jax.lax.while_loop(cond, body, init)
+    return T, ok
+
+
+def opt_pose_ray_dist_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid):
+    """Uncalibrated ray+distance GN (tracker.py:414-465).
+
+    Xf: (HW, 3) frame points gathered at kf pixels; Xk: (HW, 3) kf points;
+    Qk: (HW, 1); valid: (HW, 1) bool — folded into the weights instead of a
+    gather.
+    """
+    sqrtQ = jnp.sqrt(Qk) * valid.astype(Qk.dtype)
+    sqrt_info = jnp.concatenate(
+        [jnp.repeat(sqrtQ / cfg.sigma_ray, 3, axis=-1), sqrtQ / cfg.sigma_dist], axis=-1
+    )
+    rd_k = point_to_ray_dist(Xk)
+
+    def residual(T_CkCf):
+        Xf_Ck, dX_dT = act_Sim3(T_CkCf, Xf, jacobian=True)
+        rd_f, drd_dX = point_to_ray_dist(Xf_Ck, jacobian=True)
+        r = rd_k - rd_f
+        J = -(drd_dX @ dX_dT)  # (HW, 4, 7)
+        return sqrt_info, r, J
+
+    T_CkCf0 = lie.sim3_rel(T_WCk, T_WCf)
+    T_CkCf, ok = _gn_loop(cfg, T_CkCf0, residual)
+    T_WCf_new = lie.sim3_mul(T_WCk, T_CkCf)
+    return T_WCf_new, T_CkCf, ok
+
+
+def opt_pose_calib_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid, meas_k,
+                        valid_meas_k, K, img_size):
+    """Calibrated pixel + log-depth GN (tracker.py:467-517)."""
+    sqrtQ = jnp.sqrt(Qk) * valid.astype(Qk.dtype)
+    sqrt_info = jnp.concatenate(
+        [jnp.repeat(sqrtQ / cfg.sigma_pixel, 2, axis=-1), sqrtQ / cfg.sigma_depth], axis=-1
+    )
+
+    def residual(T_CkCf):
+        Xf_Ck, dX_dT = act_Sim3(T_CkCf, Xf, jacobian=True)
+        pz, dpz_dX, valid_proj = project_calib(
+            Xf_Ck, K, img_size, jacobian=True, border=cfg.pixel_border, z_eps=cfg.depth_eps
+        )
+        m = (valid_proj & valid_meas_k).astype(sqrt_info.dtype)
+        r = meas_k - pz
+        J = -(dpz_dX @ dX_dT)
+        return m * sqrt_info, r, J
+
+    T_CkCf0 = lie.sim3_rel(T_WCk, T_WCf)
+    T_CkCf, ok = _gn_loop(cfg, T_CkCf0, residual)
+    T_WCf_new = lie.sim3_mul(T_WCk, T_CkCf)
+    return T_WCf_new, T_CkCf, ok
+
+
+# ---------------------------------------------------------------------------
+# full tracking step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("model_cfg", "cfg", "match_cfg", "img_hw"))
+def track_step(
+    params,
+    model_cfg,
+    cfg: TrackingCfg,
+    match_cfg,
+    img_hw,
+    store: KeyframeStore,
+    frame: Frame,
+    idx_f2k_init: Optional[jax.Array],
+    K: Optional[jax.Array] = None,
+):
+    """One tracked frame (FrameTracker.track, tracker.py:161-368).
+
+    Returns (store', frame', TrackResult). The new-KF append happens inside
+    (lax.cond) so the host only reads back the small TrackResult scalars.
+    """
+    h, w = img_hw
+    hw = h * w
+    kf_slot = store.last_slot()
+    kf = frame_mod.kf_get_frame(store, kf_slot)
+
+    out = match_asymmetric(
+        params, model_cfg, dict(match_cfg), frame.feat, frame.pos,
+        kf.feat, kf.pos, img_hw, idx_f2k_init,
+    )
+
+    # fuse the frame's fresh pointmap (tracker.py:177)
+    Xn, Cn, Nn, Un = frame_mod.update_pointmap(
+        frame.X_canon, frame.C, frame.N, frame.N_updates, out.Xff, out.Cff, cfg.filtering_mode
+    )
+    frame = dataclasses.replace(frame, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
+
+    idx_f2k = out.idx_f2k[0]  # (HW,)
+    valid_match_k = out.valid_match_k[0]  # (HW, 1)
+
+    Qk = jnp.sqrt(out.Qff[idx_f2k] * out.Qkf)
+    Cf_avg = frame.average_conf()
+    Ck_avg = kf.average_conf()
+    Cf = Cf_avg[idx_f2k]
+
+    valid_opt = valid_match_k & (Cf > cfg.C_conf) & (Ck_avg > cfg.C_conf) & (Qk > cfg.Q_conf)
+    valid_kf = valid_match_k & (Qk > cfg.Q_conf)
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    # points & poses (tracker.py:370-395)
+    if cfg.use_calib:
+        assert K is not None
+        Xf_all = constrain_points_to_ray(img_hw, frame.X_canon[None], K)[0]
+        Xk = constrain_points_to_ray(img_hw, kf.X_canon[None], K)[0]
+        uv_k = get_pixel_coords(img_hw, dtype=Xk.dtype)
+        zk = Xk[..., 2:3]
+        valid_meas_k = zk > cfg.depth_eps
+        meas_k = jnp.concatenate(
+            [uv_k, jnp.where(valid_meas_k, jnp.log(jnp.where(valid_meas_k, zk, 1.0)), 0.0)],
+            axis=-1,
+        )
+        meas_k = jnp.where(valid_meas_k, meas_k, 0.0)
+        Xf = Xf_all[idx_f2k]
+        T_WCf_new, T_CkCf, ok = opt_pose_calib_sim3(
+            cfg, Xf, Xk, frame.T_WC, kf.T_WC, Qk, valid_opt, meas_k, valid_meas_k, K, img_hw
+        )
+    else:
+        Xf = frame.X_canon[idx_f2k]
+        Xk = kf.X_canon
+        T_WCf_new, T_CkCf, ok = opt_pose_ray_dist_sim3(
+            cfg, Xf, Xk, frame.T_WC, kf.T_WC, Qk, valid_opt
+        )
+
+    # reject the frame wholesale if matching was too sparse or GN failed
+    accept = (match_frac >= cfg.min_match_frac) & ok
+    T_WCf_final = jnp.where(accept, T_WCf_new, frame.T_WC)
+    frame = dataclasses.replace(frame, T_WC=T_WCf_final)
+
+    # keyframe pointmap update: Xkk = T_CkCf . Xkf (tracker.py:325-328)
+    Xkk = lie.sim3_act(T_CkCf, out.Xkf)
+    store = jax.lax.cond(
+        accept,
+        lambda s: frame_mod.kf_update_pointmap(s, kf_slot, Xkk, out.Ckf, cfg.filtering_mode),
+        lambda s: s,
+        store,
+    )
+
+    # new-KF decision: unique valid matches / HW (tracker.py:330-331)
+    hits = jnp.zeros((hw,), jnp.float32).at[idx_f2k].max(valid_kf[:, 0].astype(jnp.float32))
+    unique_frac = jnp.sum(hits) / hw
+    new_kf = (unique_frac < cfg.match_frac_thresh) & accept
+
+    store = jax.lax.cond(
+        new_kf, lambda s: frame_mod.kf_append(s, frame), lambda s: s, store
+    )
+
+    return store, frame, TrackResult(
+        match_frac=match_frac,
+        ok=accept,
+        new_kf=new_kf,
+        T_WCf=T_WCf_final,
+        T_CkCf=T_CkCf,
+        idx_f2k=out.idx_f2k,
+    )

@@ -1,0 +1,24 @@
+"""Test harness: force an 8-virtual-device CPU platform so sharding tests run
+without TPU hardware. Must run before jax initializes a backend."""
+
+import os
+
+# The environment presets JAX_PLATFORMS=axon (remote TPU tunnel); tests must
+# run on the virtual-device CPU platform, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+# The backend BA solves its (7P x 7P) normal equations in f64, matching the
+# reference's double-precision Eigen solve (gn_kernels.cu:163-199).
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,128 @@
+"""Backend BA tests: synthetic keyframe graphs where ground truth is known.
+
+The ray-alignment solver must pull perturbed poses back to ground truth given
+consistent pointmaps; odometry factors and scale priors must constrain what
+rays cannot (gauge scale)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frodo_slam_tpu.ops import lie
+from frodo_slam_tpu.slam.global_opt import (
+    BAConfig,
+    Edges,
+    OdomEdges,
+    empty_edges,
+    empty_odom_edges,
+    solve_gn_rays,
+)
+
+
+def _make_world(key, n_kf=4, hw=512):
+    """Ground-truth Sim3 poses + per-kf canonical pointmaps of one world
+    point cloud; idx maps are identity (every kf sees the same cloud)."""
+    kp, kx = jax.random.split(key)
+    pts_w = jax.random.uniform(kp, (hw, 3), minval=-2.0, maxval=2.0) + jnp.array([0, 0, 6.0])
+    xis = (
+        jax.random.normal(kx, (n_kf, 7))
+        * jnp.array([0.3, 0.3, 0.3, 0.15, 0.15, 0.15, 0.05])
+    )
+    T_WC_true = jax.vmap(lie.sim3_exp)(xis)
+    # X_canon: points in camera frame
+    X = jax.vmap(lambda T: lie.sim3_act(lie.sim3_inv(T), pts_w))(T_WC_true)
+    return T_WC_true, X
+
+
+def _consecutive_edges(n_kf, hw):
+    pairs = [(i, i + 1) for i in range(n_kf - 1)]
+    e = len(pairs) * 2
+    ii_list, jj_list = [], []
+    for (i, j) in pairs:
+        ii_list += [i, j]
+        jj_list += [j, i]
+    return Edges(
+        ii=jnp.asarray(ii_list, jnp.int32),
+        jj=jnp.asarray(jj_list, jnp.int32),
+        idx=jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32), (e, hw)),
+        valid=jnp.ones((e, hw), bool),
+        Q=jnp.full((e, hw), 4.0),
+        active=jnp.ones((e,), bool),
+    )
+
+
+def test_ba_rays_recovers_poses():
+    n_kf, hw = 4, 512
+    T_true, X = _make_world(jax.random.PRNGKey(0), n_kf, hw)
+    C = jnp.full((n_kf, hw, 1), 5.0)
+
+    # perturb all but the first (pinned) pose
+    key = jax.random.PRNGKey(1)
+    noise = jax.random.normal(key, (n_kf, 7)) * jnp.array([0.05] * 3 + [0.02] * 3 + [0.01])
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(lie.sim3_retr)(T_true, noise)
+
+    edges = _consecutive_edges(n_kf, hw)
+    odom = empty_odom_edges(1)
+    cfg = BAConfig(max_iters=20, pin=1, delta_norm=1e-10)
+    s_bar = jnp.full((n_kf,), -1.0)
+
+    T_opt = solve_gn_rays(cfg, 1, T_init.astype(jnp.float32), X.astype(jnp.float32),
+                          C.astype(jnp.float32), edges, odom, s_bar)
+
+    # compare relative poses to ground truth (global gauge is pinned by kf 0)
+    for k in range(1, n_kf):
+        rel_opt = lie.sim3_rel(T_opt[0], T_opt[k])
+        rel_true = lie.sim3_rel(T_true[0], T_true[k])
+        np.testing.assert_allclose(
+            np.asarray(rel_opt), np.asarray(rel_true), atol=2e-3,
+            err_msg=f"kf {k}",
+        )
+
+
+def test_ba_scale_prior_pulls_scale():
+    """With no visual edges, the scale prior alone should drive each free
+    pose's scale to s_bar (gn_kernels.cu:1716-1790)."""
+    n_kf, hw = 3, 8
+    T = jnp.broadcast_to(lie.sim3_identity(), (n_kf, 8)).astype(jnp.float32)
+    X = jnp.ones((n_kf, hw, 3), jnp.float32)
+    C = jnp.zeros((n_kf, hw, 1), jnp.float32)  # gates every visual residual off
+    edges = _consecutive_edges(n_kf, hw)
+    edges = edges._replace(valid=jnp.zeros_like(edges.valid))
+    odom = empty_odom_edges(1)
+    cfg = BAConfig(max_iters=15, pin=1, sigma_scale_prior=0.1, delta_norm=1e-12, C_conf=1.0)
+    s_bar = jnp.asarray([2.0, 2.0, 0.5], jnp.float32)
+
+    T_opt = solve_gn_rays(cfg, 1, T, X, C, edges, odom, s_bar)
+    assert abs(float(T_opt[0, 7]) - 1.0) < 1e-6  # pinned
+    np.testing.assert_allclose(float(T_opt[1, 7]), 2.0, rtol=1e-3)
+    np.testing.assert_allclose(float(T_opt[2, 7]), 0.5, rtol=1e-3)
+
+
+def test_ba_odometry_constrains_translation():
+    """Odometry SE(3) factors between two poses should recover the measured
+    relative translation/rotation when visual edges are off."""
+    n_kf, hw = 2, 8
+    T = jnp.broadcast_to(lie.sim3_identity(), (n_kf, 8)).astype(jnp.float32)
+    X = jnp.ones((n_kf, hw, 3), jnp.float32)
+    C = jnp.zeros((n_kf, hw, 1), jnp.float32)
+    edges = empty_edges(2, hw)
+
+    # measured T_ij: translate x by 1, yaw by 0.1 rad
+    t_meas = jnp.asarray([1.0, 0.0, 0.0])
+    q_meas = lie.so3_exp(jnp.asarray([0.0, 0.0, 0.1]))
+    delta = jnp.concatenate([t_meas, q_meas])
+    odom = OdomEdges(
+        ii=jnp.asarray([0], jnp.int32),
+        jj=jnp.asarray([1], jnp.int32),
+        delta_T=delta[None],
+        active=jnp.ones((1,), bool),
+    )
+    cfg = BAConfig(max_iters=30, pin=1, delta_norm=1e-12, C_conf=1.0,
+                   sigma_odom_t=1e-3, sigma_odom_r=1e-3)
+    s_bar = jnp.full((n_kf,), -1.0)
+
+    T_opt = solve_gn_rays(cfg, 1, T, X, C, edges, odom, s_bar)
+    rel = lie.sim3_rel(T_opt[0], T_opt[1])
+    np.testing.assert_allclose(np.asarray(rel[:3]), np.asarray(t_meas), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rel[3:7]), np.asarray(q_meas), atol=1e-3)
