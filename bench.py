@@ -1,0 +1,109 @@
+"""Benchmark: per-frame tracking throughput of the flagship pipeline.
+
+Measures the SLAM hot path on one chip — ViT-L encode of the incoming frame
++ asymmetric two-view decode + both heads + dense matching + Sim(3)
+Gauss-Newton + keyframe update — i.e. everything `FrameTracker.track` does
+per frame in the reference (tracker.py:161-368), as one jitted program on
+synthetic 288x512 frames.
+
+Baseline of record: the reference runs ~15 FPS end-to-end on an RTX 4090
+(MASt3R-SLAM paper, linked at reference README.md:15; BASELINE.md) — the
+repo itself commits no numbers. ``vs_baseline`` = our FPS / 15.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from frodo_slam_tpu.config import make_config  # noqa: E402
+from frodo_slam_tpu.models import mast3r  # noqa: E402
+from frodo_slam_tpu.slam import frame as frame_mod  # noqa: E402
+from frodo_slam_tpu.slam.inference import decode_mono  # noqa: E402
+from frodo_slam_tpu.slam.tracker import TrackingCfg, track_step  # noqa: E402
+
+BASELINE_FPS = 15.0  # reference system on RTX 4090 (external, BASELINE.md)
+
+
+def main():
+    tiny = bool(os.environ.get("FRODO_BENCH_TINY"))
+    if tiny:
+        mcfg, (h, w), n_frames, capacity = mast3r.tiny_config(), (32, 64), 4, 8
+    else:
+        mcfg, (h, w), n_frames, capacity = mast3r.MASt3RConfig(), (288, 512), 30, 100
+
+    cfg = make_config()
+    match_cfg = tuple(sorted(dict(cfg.matching).items()))
+    tcfg = TrackingCfg(
+        min_match_frac=0.0,  # synthetic frames: keep the full pipeline running
+        max_iters=int(cfg.tracking.max_iters),
+        Q_conf=0.0,
+        match_frac_thresh=float(cfg.tracking.match_frac_thresh),
+    )
+
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    hw = h * w
+    n_tok = (h // 16) * (w // 16)
+    store = frame_mod.make_keyframe_store(capacity, hw, n_tok, mcfg.enc_embed_dim)
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-1, 1, (h + 8, w + 8, 3)).astype(np.float32)
+    frames = [jnp.asarray(base[i % 8 : i % 8 + h, i % 8 : i % 8 + w][None]) for i in range(n_frames)]
+
+    import dataclasses
+
+    @jax.jit
+    def encode(params, img):
+        return mast3r.encode_image(params, mcfg, img)
+
+    # init keyframe (mono decode)
+    feat, pos = encode(params, frames[0])
+    f0 = frame_mod.make_empty_frame(0, frames[0], feat, pos)
+    X0, C0 = decode_mono(params, mcfg, feat, pos, (h, w))
+    Xn, Cn, Nn, Un = frame_mod.update_pointmap(f0.X_canon, f0.C, f0.N, f0.N_updates, X0, C0)
+    f0 = dataclasses.replace(f0, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
+    store = frame_mod.kf_append(store, f0)
+
+    def one_frame(store, img, i, idx_init):
+        feat, pos = encode(params, img)
+        fr = frame_mod.make_empty_frame(i, img, feat, pos)
+        store, fr, res = track_step(params, mcfg, tcfg, match_cfg, (h, w), store, fr, idx_init)
+        return store, res
+
+    # warmup / compile
+    store_w, res = one_frame(store, frames[1], 1, None)
+    jax.block_until_ready(res.T_WCf)
+
+    # steady state
+    t0 = time.perf_counter()
+    idx_init = res.idx_f2k
+    last = None
+    for i in range(2, n_frames):
+        store, res = one_frame(store, frames[i], i, idx_init)
+        idx_init = res.idx_f2k
+        last = res
+    jax.block_until_ready(last.T_WCf)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - 2) / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_vitL_288x512" if not tiny else "tracking_fps_tiny",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Device-mesh sharding for multi-chip pair decoding.
+
+The reference's only multi-device story is "run the backend process on a
+second GPU" (run_vio.py:111-114) with a full second model copy. The
+TPU-native replacement: ONE program, a (dp, tp) ``jax.sharding.Mesh``, and
+GSPMD sharding of the heavy compute — the batched symmetric decoder pass
+that builds backend factor-graph edges (mast3r_utils.py:115-174 batches 2N
+pair decodes; that batch shards over dp, and the transformer's attention
+heads / MLP hidden dim shard over tp so collectives ride ICI).
+
+All functions are layout-only: they attach ``NamedSharding`` to existing
+pytrees; jit + XLA insert the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    n = dp * tp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _pspec_for_path(path: str, ndim: int) -> P:
+    """Tensor-parallel layout for the MASt3R transformer params.
+
+    Megatron-style: qkv/fc1 shard the output features over tp, proj/fc2
+    shard the input features, everything else replicated. Params are stacked
+    per-layer (leading L axis), so feature axes shift right by one.
+    """
+    if ndim < 2:
+        return P()
+    # stacked layer weights: (L, in, out); unstacked: (in, out)
+    if "attn/qkv/w" in path or "projq/w" in path or "projk/w" in path or "projv/w" in path:
+        return P(*([None] * (ndim - 1) + ["tp"]))  # shard out features
+    if "fc1/w" in path:
+        return P(*([None] * (ndim - 1) + ["tp"]))
+    if "attn/proj/w" in path or "cross_attn/proj/w" in path:
+        return P(*([None] * (ndim - 2) + ["tp", None]))  # shard in features
+    if "fc2/w" in path:
+        return P(*([None] * (ndim - 2) + ["tp", None]))
+    return P()
+
+
+def _path_str(kp) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place model params on the mesh with tensor-parallel layouts."""
+
+    def place(kp, leaf):
+        spec = _pspec_for_path(_path_str(kp), np.ndim(leaf))
+        # biases of tp-sharded outputs follow the feature axis
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(x, mesh: Mesh):
+    """Shard a (B, ...) batch over the dp axis (pair-decode batch)."""
+
+    def place(leaf):
+        spec = P("dp", *([None] * (np.ndim(leaf) - 1))) if np.ndim(leaf) >= 1 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, x)
+
+
+def replicate(x, mesh: Mesh):
+    return jax.tree.map(lambda l: jax.device_put(l, NamedSharding(mesh, P())), x)

@@ -1,0 +1,94 @@
+"""Retrieval stack tests: packing/hamming parity with the reference Cython
+docstrings, quantization vs brute force, and end-to-end database behavior
+(revisited places rank first)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from frodo_slam_tpu.retrieval.asmk import (
+    Codebook,
+    InvertedFile,
+    aggregate_image,
+    binarize_and_pack,
+    hamming_cdist_packed,
+)
+from frodo_slam_tpu.retrieval.database import RetrievalDatabase
+from frodo_slam_tpu.retrieval.model import RetrievalHead
+
+
+def test_binarize_and_pack_matches_cython_docstring():
+    # hamming.pyx:87-89: binarize_and_pack_2D(rand(2,10)-0.5) with seed-fixed
+    # values is hard to reproduce; instead verify the documented bit order
+    # (MSB-first within each uint32) with a hand case.
+    v = np.zeros((1, 10), np.float32)
+    v[0, 0] = 1.0  # bit 0 -> MSB
+    packed = binarize_and_pack(v)
+    assert packed[0, 0] == np.uint32(1 << 31)
+    v[0, 9] = 1.0
+    packed = binarize_and_pack(v)
+    assert packed[0, 0] == np.uint32((1 << 31) | (1 << 22))
+
+
+def test_hamming_cdist_packed():
+    # hamming.pyx:135-137 example: arrs [[3],[1]] vs [[1],[2]], norm 2
+    a = np.array([[3], [1]], np.uint32)
+    b = np.array([[1], [2]], np.uint32)
+    d = hamming_cdist_packed(a, b, 2)
+    np.testing.assert_allclose(d, [[0.5, 0.5], [0.0, 1.0]])
+
+
+def test_quantize_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    cb = Codebook(rng.normal(size=(128, 16)).astype(np.float32))
+    q = rng.normal(size=(40, 16)).astype(np.float32)
+    idx = cb.quantize(q, 3)
+    d2 = ((q[:, None] - cb.centroids[None]) ** 2).sum(-1)
+    ref = np.argsort(d2, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.sort(idx, axis=1), np.sort(ref, axis=1))
+
+
+def test_aggregate_residual_sign():
+    rng = np.random.default_rng(1)
+    cb = Codebook(np.zeros((4, 8), np.float32))
+    des = np.abs(rng.normal(size=(5, 8))).astype(np.float32)  # all positive
+    words = np.zeros((5, 1), np.int64)
+    ades, uids = aggregate_image(cb, des, words)
+    assert uids.tolist() == [0]
+    # residual sum is positive in every dim -> all bits set for first 8 bits
+    expected = np.uint32(sum(1 << (31 - k) for k in range(8)))
+    assert ades[0, 0] == expected
+
+
+def test_database_revisit_ranks_first():
+    """Same-place keyframes should retrieve each other; distinct places
+    should not cross-fire with high score."""
+    rng = np.random.default_rng(2)
+    dim = 32
+    head = RetrievalHead.init(jax.random.PRNGKey(0), backbone_dim=dim, hdims=[dim], nfeat=16)
+    cb = Codebook(rng.normal(size=(64, dim)).astype(np.float32) * 3)
+    db = RetrievalDatabase(head, cb)
+
+    def fake_feat(seed):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(r.normal(size=(1, 24, dim)).astype(np.float32))
+
+    # insert 4 distinct places
+    for s in range(4):
+        got = db.update(fake_feat(s), add_after_query=True, k=3, min_thresh=5e-3)
+    assert db.kf_counter == 4
+
+    # query a revisit of place 1 (tiny noise)
+    r = np.random.default_rng(1)
+    feat = r.normal(size=(1, 24, dim)).astype(np.float32)
+    feat += np.random.default_rng(99).normal(size=feat.shape) * 0.01
+    got = db.update(jnp.asarray(feat.astype(np.float32)), add_after_query=False, k=1, min_thresh=0.0)
+    assert got and got[0] == 1, got
+
+
+def test_ivf_norm_factor():
+    ivf = InvertedFile(8, 32)
+    des = binarize_and_pack(np.random.default_rng(3).normal(size=(3, 32)).astype(np.float32))
+    ivf.add(des, np.array([0, 1, 2]), np.array([0, 0, 0]))
+    assert ivf.n_images == 1
+    assert ivf.norm_factor[0] == 3
