@@ -1,0 +1,96 @@
+"""Model/retriever loading (the ``load_mast3r`` / ``load_retriever`` layer,
+``mast3r_slam/mast3r_utils.py:14-52``).
+
+Checkpoint resolution order:
+1. ``<path>.npz`` — converted JAX params (fast path; produce once with
+   ``python -m frodo_slam_tpu.loader convert <ckpt.pth> <out.npz>``),
+2. ``<path>.pth`` — original torch checkpoint (requires torch, converts on
+   the fly),
+3. none found — randomly initialized weights with a loud warning (geometry
+   will be meaningless; useful for benchmarks and smoke tests only).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import warnings
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from .models import convert, mast3r
+
+DEFAULT_CKPT = "checkpoints/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth"
+DEFAULT_RETRIEVAL = "checkpoints/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric_retrieval_trainingfree.pth"
+
+
+def load_mast3r(path: Optional[str] = None, cfg: Optional[mast3r.MASt3RConfig] = None
+                ) -> Tuple[dict, mast3r.MASt3RConfig]:
+    """Returns (params, model_cfg)."""
+    cfg = cfg or mast3r.MASt3RConfig()
+    path = path or DEFAULT_CKPT
+    npz = pathlib.Path(path).with_suffix(".npz")
+    if npz.exists():
+        return convert.load_npz(str(npz), cfg), cfg
+    if pathlib.Path(path).exists():
+        params = convert.load_torch_checkpoint(path, cfg)
+        return params, cfg
+    warnings.warn(
+        f"checkpoint not found at {path}; using RANDOM weights — pointmaps "
+        "will be meaningless (benchmark/smoke-test mode only)"
+    )
+    if os.environ.get("FRODO_ENTRY_TINY"):
+        cfg = mast3r.tiny_config()
+    return mast3r.init_params(jax.random.PRNGKey(0), cfg), cfg
+
+
+def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
+                   codebook_path: Optional[str] = None):
+    """Returns a RetrievalDatabase, or None when retrieval assets are
+    missing entirely."""
+    from .retrieval.asmk import Codebook
+    from .retrieval.database import RetrievalDatabase
+    from .retrieval.model import RetrievalHead, convert_retrieval_checkpoint
+
+    path = path or DEFAULT_RETRIEVAL
+    head = None
+    if pathlib.Path(path).exists():
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = {k: np.asarray(v.float().numpy()) for k, v in ckpt["model"].items() if hasattr(v, "numpy")}
+        head = RetrievalHead(convert_retrieval_checkpoint(sd), nfeat=300)
+        cb_file = codebook_path or str(pathlib.Path(path).parent / (
+            "_".join(pathlib.Path(path).name.split("_")[:-1]) + "_codebook.pkl"))
+        if pathlib.Path(cb_file).exists():
+            import pickle
+
+            with open(cb_file, "rb") as f:
+                cb_data = pickle.load(f)
+            centroids = np.asarray(
+                cb_data["centroids"] if isinstance(cb_data, dict) else cb_data.centroids
+            )
+            return RetrievalDatabase(head, Codebook(centroids))
+    warnings.warn("retrieval checkpoint/codebook not found; using random "
+                  "retrieval head + codebook (loop closures will be random)")
+    head = head or RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
+                                      hdims=[min(1024, model_cfg.enc_embed_dim)], nfeat=300)
+    dim = 1024 if head.params["projector"]["final"] is None else head.params["projector"]["final"]["w"].shape[1]
+    cb = Codebook.random(np.random.default_rng(0), 4096, int(dim))
+    return RetrievalDatabase(head, cb)
+
+
+def _cli_convert(argv):
+    src, dst = argv
+    cfg = mast3r.MASt3RConfig()
+    params = convert.load_torch_checkpoint(src, cfg)
+    convert.save_npz(params, dst)
+    print(f"converted {src} -> {dst}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "convert":
+        _cli_convert(sys.argv[2:])

@@ -1,0 +1,101 @@
+"""Headless dataset SLAM runner (the reference's ``main.py`` CLI contract).
+
+CLI: ``python -m frodo_slam_tpu.main --dataset <path> --config <yaml>
+[--calib <yaml>] [--save-as <name>] [--no-viz]`` (main.py:348-356).
+
+Implements the *upstream* loop semantics (mono init -> track -> backend on
+new keyframes -> reloc/new-map on loss; SURVEY.md section 3.4) — the fork's
+own ``main.py`` drifted out of sync with its tracker API. Outputs match the
+eval scripts' expectations: ``logs/<save-as>/<seq>.txt`` TUM trajectory,
+``.ply`` reconstruction, keyframe PNGs (evaluate.py:23-106).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+import numpy as np
+
+
+def run(args) -> dict:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from .config import make_config
+    from .data import load_dataset
+    from .loader import load_mast3r, load_retriever
+    from .slam.system import SLAM
+    from .utils import evaluate
+
+    cfg = make_config(args.config)
+    if args.calib:
+        import yaml
+
+        with open(args.calib) as f:
+            _ = yaml.safe_load(f)
+        cfg["use_calib"] = True
+
+    dataset = load_dataset(
+        args.dataset,
+        use_calib=bool(cfg["use_calib"]),
+        center_principal_point=bool(cfg["dataset"]["center_principle_point"]),
+        subsample=int(cfg["dataset"]["subsample"]),
+    )
+    (h, w), _ = dataset.get_img_shape()
+
+    params, model_cfg = load_mast3r(args.weights)
+    retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
+    calib = dataset.camera_intrinsics.K_frame if (cfg["use_calib"] and dataset.has_calib()) else None
+
+    slam = SLAM(
+        cfg, params, model_cfg, (h, w), calib=calib, retrieval_db=retrieval,
+        use_backend=True, use_reloc=retrieval is not None,
+        single_thread=bool(cfg["single_thread"]),
+    )
+
+    n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    fps_t0, fps_count = time.time(), 0
+    for i in range(n):
+        timestamp, img = dataset[i]
+        slam.grab_rgb(img, timestamp=float(timestamp))
+        fps_count += 1
+        if fps_count == 30:
+            print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")
+            fps_t0, fps_count = time.time(), 0
+    slam.terminate()
+
+    out = {}
+    if args.save_as and getattr(dataset, "save_results", True):
+        seq = pathlib.Path(args.dataset).name or "seq"
+        logdir = pathlib.Path("logs") / args.save_as
+        stamps, poses = slam.keyframe_poses()
+        traj = evaluate.save_traj(logdir, f"{seq}.txt", stamps, poses)
+        out["traj"] = str(traj)
+        n_live = int(slam.store.n_size)
+        slots = [k % slam.store.capacity for k in range(max(0, int(slam.store.n_total) - n_live), int(slam.store.n_total))]
+        X = np.asarray(slam.store.X_canon[np.asarray(slots)])
+        C = np.asarray(slam.store.C[np.asarray(slots)]) / np.maximum(
+            np.asarray(slam.store.N[np.asarray(slots)])[:, None, None], 1)
+        evaluate.save_reconstruction(logdir, f"{seq}.ply", poses, X, np.zeros_like(X), C)
+        out["ply"] = str(logdir / f"{seq}.ply")
+    return out
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="frodo-slam-tpu dataset runner")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--config", default="configs/base.yaml")
+    p.add_argument("--calib", default=None)
+    p.add_argument("--save-as", dest="save_as", default=None)
+    p.add_argument("--no-viz", action="store_true", default=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--no-retrieval", action="store_true")
+    p.add_argument("--max-frames", type=int, default=None)
+    return p
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

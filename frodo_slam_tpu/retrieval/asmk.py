@@ -27,11 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# optional native popcount kernel (native/asmk_kernels.cpp)
+# optional native popcount kernels (native/asmk_kernels.cpp)
 try:  # pragma: no cover - exercised when the native lib is built
-    from ..utils.native import hamming_cdist_packed as _native_hamming
+    from ..utils import native as _native
 except Exception:
-    _native_hamming = None
+    _native = None
+_native_hamming = _native.hamming_cdist_packed if _native else None
 
 _POPCNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
@@ -157,12 +158,19 @@ class InvertedFile:
         (inverted_file.py:84-105 + kernel.similarity + asmk_kernel)."""
         scores = np.zeros(self.n_images)
         q_norm_factor = len(word_ids)  # idf == 1 per word when use_idf=False
+        use_native = _native is not None and alpha == 3.0
         for qvec, word in zip(des, word_ids):
             w = int(word)
             if self.ivf_image_ids[w] is None:
                 continue
             vecs = self.ivf_vecs[w][: self.counts[w]]
             imids = self.ivf_image_ids[w][: self.counts[w]]
+            if use_native:
+                _native.asmk_accumulate_word(
+                    qvec, vecs, imids.astype(np.int64), self.dim_bits,
+                    similarity_threshold, self.norm_factor, scores,
+                )
+                continue
             nd = hamming_cdist_packed(qvec[None], vecs, self.dim_bits)[0]
             sim = -2.0 * nd + 1.0
             mask = sim >= similarity_threshold

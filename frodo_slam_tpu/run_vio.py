@@ -1,0 +1,128 @@
+"""Robot / recorded-session VIO runner (the reference's ``run_vio.py``).
+
+CLI contract (run_vio.py:245-277): ``--robot`` (live HTTP sensors) or
+``--dataset <recorded .pkl>``, ``--config``, ``--calib``, ``--visualize``,
+``--use_odometry``, ``--every_n_frames``. The reference's optional
+second-GPU backend (run_vio.py:111-114) maps to ``single_thread=False``
+(backend on a host thread over the same device mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def run_dataset(args):
+    """Replay a recorded session (run_vio.py:172-242)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from .config import make_config
+    from .loader import load_mast3r, load_retriever
+    from .slam.odometry import OdometryData
+    from .slam.system import SLAM
+
+    cfg = make_config(args.config)
+    data = OdometryData(args.dataset, wall_clock=args.wall_clock, use_odometry=args.use_odometry)
+
+    params, model_cfg = load_mast3r(args.weights)
+    retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
+
+    slam = None
+    i = 0
+    fps_t0, fps_count = time.time(), 0
+    while True:
+        ts, frame_img, odom_pose = data.get_frame_and_pose()
+        if frame_img is None:
+            break
+        i += 1
+        if i % args.every_n_frames != 0:
+            continue
+        img = np.asarray(frame_img[:, :, ::-1], np.float32) / 255.0  # BGR->RGB
+        if slam is None:
+            from .data.image import resize_img
+
+            shaped = resize_img(img, 512)
+            h, w = int(shaped["true_shape"][0][0]), int(shaped["true_shape"][0][1])
+            slam = SLAM(cfg, params, model_cfg, (h, w), retrieval_db=retrieval,
+                        use_backend=True, use_reloc=retrieval is not None,
+                        single_thread=bool(cfg["single_thread"]),
+                        local_opt_mode=args.use_odometry)
+        slam.grab_rgb(img, timestamp=ts, odom_pose=odom_pose)
+        fps_count += 1
+        if fps_count == 30:
+            print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")
+            fps_t0, fps_count = time.time(), 0
+    if slam is not None:
+        slam.terminate()
+    return slam
+
+
+def run_robot(args):  # pragma: no cover - hardware
+    """Live robot mode (run_vio.py:67-170): poll odometry + camera."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from .config import make_config
+    from .loader import load_mast3r, load_retriever
+    from .slam.odometry import StraightOrSpinOdometry
+    from .slam.system import SLAM
+
+    cfg = make_config(args.config)
+    odo = StraightOrSpinOdometry(robot_type=args.robot_type)
+    odo.start()
+    params, model_cfg = load_mast3r(args.weights)
+    retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
+
+    slam = None
+    try:
+        while True:
+            ts, frame_img, odom_pose = odo.get_frame_and_pose()
+            if frame_img is None:
+                time.sleep(0.01)
+                continue
+            img = np.asarray(frame_img[:, :, ::-1], np.float32) / 255.0
+            if slam is None:
+                from .data.image import resize_img
+
+                shaped = resize_img(img, 512)
+                h, w = int(shaped["true_shape"][0][0]), int(shaped["true_shape"][0][1])
+                slam = SLAM(cfg, params, model_cfg, (h, w), retrieval_db=retrieval,
+                            use_backend=True, use_reloc=retrieval is not None,
+                            single_thread=False, local_opt_mode=True)
+            slam.grab_rgb(img, timestamp=ts,
+                          odom_pose=odom_pose if args.use_odometry else None)
+    finally:
+        odo.stop()
+        if slam is not None:
+            slam.terminate()
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="frodo-slam-tpu VIO runner")
+    p.add_argument("--robot", action="store_true")
+    p.add_argument("--robot-type", default="mini")
+    p.add_argument("--dataset", default=None, help="recorded odometry .pkl")
+    p.add_argument("--config", default="configs/base_no_fnn.yaml")
+    p.add_argument("--calib", default=None)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--use_odometry", action="store_true")
+    p.add_argument("--wall-clock", action="store_true")
+    p.add_argument("--every_n_frames", type=int, default=4)  # run_vio.py:218
+    p.add_argument("--no-retrieval", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    if args.robot:
+        run_robot(args)
+    else:
+        assert args.dataset, "--dataset or --robot required"
+        run_dataset(args)

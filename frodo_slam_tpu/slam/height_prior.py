@@ -1,0 +1,119 @@
+"""Metric-scale height prior: RANSAC ground-plane fit on an image rectangle.
+
+Behavioral spec: ``mast3r_slam/height_prior.py`` ``RectanglePlaneEstimator``
+(:8-166): gather the pointmap inside a fixed image rectangle, subsample,
+RANSAC plane fit (Open3D ``segment_plane`` in the reference), reject if the
+plane normal tilts more than ``max_tilt_deg`` from the camera y-axis or has
+too few inliers, else return ground height ``-d / b``. The backend turns it
+into a per-keyframe scale target ``s_bar = camera_height / h_bar``
+(global_opt.py:212-224).
+
+TPU design: the reference runs Open3D's sequential RANSAC on the CPU per
+keyframe. Here all ``ransac_iterations`` hypotheses are evaluated at once —
+sample triples, solve the 3-point plane in closed form, count inliers with
+one (iters, N) distance matrix — one jitted program, no host loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def ransac_plane(pts: jax.Array, key: jax.Array, iterations: int = 1000,
+                 inlier_thresh: float = 0.04):
+    """Fully-vectorized 3-point RANSAC plane fit.
+
+    pts: (N, 3). Returns (plane (4,) [a,b,c,d] with unit normal, n_inliers).
+    """
+    n = pts.shape[0]
+    idx = jax.random.randint(key, (iterations, 3), 0, n)
+    p0, p1, p2 = pts[idx[:, 0]], pts[idx[:, 1]], pts[idx[:, 2]]
+    normal = jnp.cross(p1 - p0, p2 - p0)  # (it, 3)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(norm, 1e-12)
+    d = -jnp.sum(normal * p0, axis=-1)  # (it,)
+
+    # distances of all points to all hypotheses: (it, N)
+    dist = jnp.abs(pts @ normal.T + d[None, :]).T
+    inliers = jnp.sum(dist < inlier_thresh, axis=-1)  # (it,)
+    degenerate = norm[:, 0] < 1e-9
+    inliers = jnp.where(degenerate, 0, inliers)
+
+    best = jnp.argmax(inliers)
+    plane = jnp.concatenate([normal[best], d[best, None]])
+    return plane, inliers[best]
+
+
+class RectanglePlaneEstimator:
+    """Headless equivalent of the reference estimator.
+
+    ``corners``: ((x0, y0), (x1, y1)) pixel rectangle. The reference loads
+    these from an interactively-picked pickle (height_prior.py:36-43); here
+    they default to the bottom-center band of the image, and can be set from
+    config.
+    """
+
+    def __init__(self, corners: Optional[Tuple] = None, max_subsample: int = 1000,
+                 max_tilt_deg: float = 5.0, inlier_thresh: float = 0.04,
+                 ransac_iterations: int = 1000, min_inliers: int = 100, seed: int = 0):
+        self.corners = corners
+        self.max_subsample = max_subsample
+        self.max_tilt = np.deg2rad(max_tilt_deg)
+        self.inlier_thresh = inlier_thresh
+        self.ransac_iterations = ransac_iterations
+        self.min_inliers = min_inliers
+        self._key = jax.random.PRNGKey(seed)
+
+    def default_corners(self, h: int, w: int):
+        # bottom-center band: the region most likely to be ground for a
+        # forward-looking robot camera
+        return ((w // 4, (2 * h) // 3), ((3 * w) // 4, h - 1))
+
+    def run(self, pointmap, image_size: Tuple[int, int]) -> Optional[float]:
+        """pointmap: (H*W, 3) camera-frame points. Returns ground height or
+        None (height_prior.py:45-139)."""
+        h, w = image_size
+        corners = self.corners or self.default_corners(h, w)
+        (x0, y0), (x1, y1) = corners
+        x_min, x_max = sorted((int(x0), int(x1)))
+        y_min, y_max = sorted((int(y0), int(y1)))
+
+        xs = np.arange(x_min, x_max + 1)
+        ys = np.arange(y_min, y_max + 1)
+        Xs, Ys = np.meshgrid(xs, ys)
+        flat_idx = Ys.ravel() * w + Xs.ravel()
+        pts = np.asarray(pointmap)[flat_idx]
+
+        if pts.shape[0] > self.max_subsample:
+            choice = np.random.default_rng(0).choice(pts.shape[0], self.max_subsample, replace=False)
+            pts = pts[choice]
+
+        self._key, sub = jax.random.split(self._key)
+        plane, n_inliers = ransac_plane(
+            jnp.asarray(pts, jnp.float32), sub, iterations=self.ransac_iterations,
+            inlier_thresh=self.inlier_thresh,
+        )
+        if int(n_inliers) < self.min_inliers:
+            return None
+        a, b, c, d = (float(v) for v in plane)
+        tilt = np.arccos(min(abs(b), 1.0))  # unit normal: |b| = cos(tilt to y-axis)
+        if tilt > self.max_tilt or abs(b) <= 1e-6:
+            return None
+        return -d / b
+
+
+def scale_targets(estimator: RectanglePlaneEstimator, pointmaps, image_size,
+                  camera_height: float) -> np.ndarray:
+    """Per-keyframe scale-prior targets s_bar = camera_height / h_bar;
+    -1 where the plane fit is rejected (global_opt.py:212-224)."""
+    out = []
+    for X in pointmaps:
+        h_bar = estimator.run(X, image_size)
+        out.append(camera_height / h_bar if h_bar is not None and h_bar > 1e-6 else -1.0)
+    return np.asarray(out, np.float32)

@@ -32,6 +32,8 @@ class AsymOut(NamedTuple):
     Xkf: jax.Array  # (HW, 3) keyframe pointmap in frame coords
     Ckf: jax.Array  # (HW, 1)
     Qkf: jax.Array  # (HW, 1)
+    Dff: jax.Array  # (HW, desc) frame descriptors (for the fnn fallback)
+    Dkf: jax.Array  # (HW, desc)
 
 
 def decode_mono(params, cfg, feat, pos, img_hw):
@@ -78,6 +80,8 @@ def match_asymmetric(params, cfg, match_cfg, feat_f, pos_f, feat_k, pos_k, img_h
         Xkf=flat(res21["pts3d"], 3),
         Ckf=flat(res21["conf"], 1),
         Qkf=flat(res21["desc_conf"], 1),
+        Dff=flat(res11["desc"], res11["desc"].shape[-1]),
+        Dkf=flat(res21["desc"], res21["desc"].shape[-1]),
     )
 
 

@@ -1,0 +1,378 @@
+"""The SLAM/VIO system: one host process orchestrating jitted programs.
+
+Behavioral spec: ``mast3r_slam/vio.py`` — ``VIO.__init__`` (:163-256),
+``grab_rgb`` (:287-346), tracking-loss map reset (:321-328, :258-277),
+``run_backend`` worker (:75-161), ``relocalization`` (:29-72) — with the
+*upstream* main-loop semantics (mono init -> track -> queue backend ->
+reloc on failure) that SURVEY.md section 3.4 identifies as the contract the
+stale ``main.py`` was meant to implement.
+
+TPU design: the reference runs three processes (frontend / backend / viz)
+sharing CUDA tensors through locks. Here everything is ONE process: the
+tracker step and the backend BA are separate jitted programs; the backend
+runs synchronously on keyframe creation (the reference's own eval mode,
+``single_thread: True``, proves serialized semantics are the accuracy
+contract) or asynchronously on a host thread when ``single_thread=False``.
+No locks, no shared-memory mirrors: the KeyframeStore pytree is the single
+source of truth.
+
+Known reference divergence (deliberate): the reference never inserts the
+FIRST keyframe into the retrieval database (only keyframes that get backend
+tasks are inserted, vio.py:124-129), so its retrieval database ids are offset
+from keyframe indices by one map-initialization each. We insert the init
+keyframe too, keeping database id == keyframe index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.image import resize_img
+from ..models import mast3r
+from ..ops import lie
+from . import frame as frame_mod
+from .backend import BackendGraph
+from .frame import KeyframeStore, Mode
+from .global_opt import BAConfig
+from .height_prior import RectanglePlaneEstimator, scale_targets
+from .inference import decode_mono
+from .pgo import make_pose_graph, pgo_add_frame, pgo_optimize
+from .tracker import TrackingCfg, track_step
+
+
+class SLAM:
+    """Single-process TPU SLAM system (``VIO`` class API of the reference)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        model_cfg: mast3r.MASt3RConfig,
+        img_hw: Tuple[int, int],
+        calib: Optional[np.ndarray] = None,
+        retrieval_db=None,
+        use_backend: bool = True,
+        use_reloc: bool = True,
+        single_thread: bool = True,
+        local_opt_mode: bool = False,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.model_cfg = model_cfg
+        self.img_hw = img_hw
+        self.hw = img_hw[0] * img_hw[1]
+        self.use_backend = use_backend
+        self.use_reloc = use_reloc
+        self.single_thread = single_thread
+        self.local_opt_mode = local_opt_mode
+
+        t = cfg.tracking
+        self.tcfg = TrackingCfg(
+            min_match_frac=float(t.min_match_frac),
+            use_fnn=bool(t.get("use_fnn", False)),
+            min_match_frac_fnn=float(t.get("min_match_frac_fnn", 0.0008)),
+            max_iters=int(t.max_iters),
+            C_conf=float(t.C_conf),
+            Q_conf=float(t.Q_conf),
+            rel_error=float(t.rel_error),
+            delta_norm=float(t.delta_norm),
+            huber_k=float(t.huber),
+            match_frac_thresh=float(t.match_frac_thresh),
+            sigma_ray=float(t.sigma_ray),
+            sigma_dist=float(t.sigma_dist),
+            sigma_pixel=float(t.sigma_pixel),
+            sigma_depth=float(t.sigma_depth),
+            pixel_border=float(t.pixel_border),
+            depth_eps=float(t.depth_eps),
+            filtering_mode=str(t.filtering_mode),
+            use_calib=bool(cfg.use_calib) and calib is not None,
+        )
+        self.match_cfg = tuple(sorted(dict(cfg.matching).items()))
+        lo = cfg.local_opt
+        self.ba_cfg = BAConfig(
+            max_iters=int(lo.max_iters),
+            sigma_ray=float(lo.get("sigma_ray_odom_mode", lo.sigma_ray)) if local_opt_mode else float(lo.sigma_ray),
+            sigma_dist=float(lo.sigma_dist),
+            sigma_pixel=float(lo.sigma_pixel),
+            sigma_depth=float(lo.sigma_depth),
+            C_conf=float(lo.C_conf),
+            Q_conf=float(lo.Q_conf),
+            delta_norm=float(lo.delta_norm),
+            pin=int(lo.pin),
+            sigma_odom_t=float(lo.get("sigma_odom_t", 1e-3)),
+            sigma_odom_r=float(lo.get("sigma_odom_r", 1e-3)),
+            sigma_scale_prior=float(lo.get("sigma_scale_prior", 0.1)),
+            pixel_border=float(lo.pixel_border),
+            depth_eps=float(lo.depth_eps),
+        )
+
+        n_tok = (img_hw[0] // model_cfg.patch_size) * (img_hw[1] // model_cfg.patch_size)
+        self.store = frame_mod.make_keyframe_store(
+            int(cfg.tpu.max_keyframes), self.hw, n_tok, model_cfg.enc_embed_dim
+        )
+        self.backend = BackendGraph(
+            params, model_cfg, self.ba_cfg, self.match_cfg, img_hw,
+            max_edges=int(cfg.tpu.max_edges), max_odom=int(cfg.tpu.max_odom_edges),
+            Q_conf=float(lo.Q_conf), min_match_frac=float(lo.min_match_frac),
+        )
+        self.retrieval = retrieval_db
+        self.K = None if calib is None else jnp.asarray(calib, jnp.float32)
+
+        self.pgo = make_pose_graph(int(cfg.tpu.max_keyframes))
+        hp = cfg.height_prior
+        self.height_prior_enabled = bool(hp.enabled)
+        self.plane_estimator = RectanglePlaneEstimator(
+            max_tilt_deg=float(hp.tilt_max_deg), ransac_iterations=int(hp.ransac_iters),
+        )
+        self.camera_height = float(hp.camera_height)
+
+        self._encode = jax.jit(lambda p, img: mast3r.encode_image(p, model_cfg, img))
+
+        self.mode = Mode.INIT
+        self.frame_count = 0
+        self.loss_track_counter = 0
+        self.kf_timestamps: List[float] = []
+        self.atlas: List[dict] = []  # finished maps (main.py:187-239)
+        self.current_T_WC = np.asarray(lie.sim3_identity())
+        self.last_odom_pose: Optional[np.ndarray] = None
+        self._idx_f2k = None
+        self._backend_lock = threading.Lock()
+        self._backend_thread: Optional[threading.Thread] = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def reset(self):
+        """Full map reset on tracking loss (vio.py:258-277): new keyframe
+        buffer, backend/retrieval cleared, mode back to INIT. The finished
+        map is retained in ``self.atlas`` (the multi-map behavior of
+        main.py:227-239: old keyframe buffers are kept for export)."""
+        if int(self.store.n_size) > 0:
+            stamps, poses = self.keyframe_poses()
+            self.atlas.append({"timestamps": stamps, "T_WC": poses})
+        cap = self.store.capacity
+        n_tok = self.store.feat.shape[1]
+        enc_dim = self.store.feat.shape[2]
+        self.store = frame_mod.make_keyframe_store(cap, self.hw, n_tok, enc_dim)
+        self.backend.reset()
+        if self.retrieval is not None:
+            self.retrieval.reset()
+        self.pgo = make_pose_graph(cap)
+        self.mode = Mode.INIT
+        self.loss_track_counter = 0
+        self.kf_timestamps = []
+        self._idx_f2k = None
+        self.last_odom_pose = None
+
+    def terminate(self):
+        self.mode = Mode.TERMINATED
+        if self._backend_thread is not None:
+            self._backend_thread.join(timeout=30.0)
+
+    # -- frame path ----------------------------------------------------------
+
+    def _make_frame(self, img: np.ndarray, T_WC) -> frame_mod.Frame:
+        h, w = self.img_hw
+        if img.shape[:2] != (h, w):
+            img = resize_img(img, max(self.img_hw))["img"][0]
+        else:
+            img = (img.astype(np.float32) - 0.5) / 0.5 if img.max() <= 1.0 else img
+        dev_img = jnp.asarray(img)[None] if img.ndim == 3 else jnp.asarray(img)
+        feat, pos = self._encode(self.params, dev_img)
+        return frame_mod.make_empty_frame(self.frame_count, dev_img, feat, pos, T_WC=T_WC)
+
+    def init_tracking(self, frame: frame_mod.Frame, timestamp: float):
+        """Mono-inference map init (tracker.py:137-155)."""
+        X, C = decode_mono(self.params, self.model_cfg, frame.feat, frame.pos, self.img_hw)
+        Xn, Cn, Nn, Un = frame_mod.update_pointmap(
+            frame.X_canon, frame.C, frame.N, frame.N_updates, X, C, self.tcfg.filtering_mode
+        )
+        frame = dataclasses.replace(frame, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
+        self.store = frame_mod.kf_append(self.store, frame)
+        self.kf_timestamps.append(timestamp)
+        if self.retrieval is not None:
+            # keep database id == keyframe index (see module docstring)
+            self.retrieval.update(frame.feat, add_after_query=True,
+                                  k=int(self.cfg.retrieval.k),
+                                  min_thresh=float(self.cfg.retrieval.min_thresh))
+        self.mode = Mode.TRACKING
+        self.current_T_WC = np.asarray(frame.T_WC)
+
+    def grab_rgb(self, img: np.ndarray, timestamp: Optional[float] = None,
+                 odom_pose: Optional[np.ndarray] = None):
+        """Process one RGB frame (vio.py:287-346).
+
+        Returns (success, T_WC (8,) Sim3, new_kf).
+        """
+        timestamp = time.time() if timestamp is None else timestamp
+        frame = self._make_frame(img, jnp.asarray(self.current_T_WC, jnp.float32))
+
+        if self.mode == Mode.INIT:
+            self.init_tracking(frame, timestamp)
+            self.last_odom_pose = odom_pose
+            self.frame_count += 1
+            return True, self.current_T_WC, True
+
+        with self._backend_lock:
+            store = self.store
+            store, frame, res = track_step(
+                self.params, self.model_cfg, self.tcfg, self.match_cfg, self.img_hw,
+                store, frame, self._idx_f2k, self.K,
+            )
+            self.store = store
+        self._idx_f2k = res.idx_f2k
+        ok = bool(res.ok)
+        new_kf = bool(res.new_kf)
+
+        if not ok:
+            self._idx_f2k = None
+            self.loss_track_counter += 1
+            relocalized = False
+            if self.use_reloc and self.retrieval is not None and len(self.kf_timestamps) > 1:
+                relocalized = self._relocalize(frame, timestamp)
+            if relocalized:
+                self.loss_track_counter = 0
+                ok = True
+            elif self.loss_track_counter >= int(self.cfg.tracking.new_map_after_loss_track_N):
+                self.reset()
+                self.init_tracking(frame, timestamp)
+                self.frame_count += 1
+                return False, self.current_T_WC, True
+        else:
+            self.loss_track_counter = 0
+            self.current_T_WC = np.asarray(res.T_WCf)
+            if new_kf:
+                self.kf_timestamps.append(timestamp)
+                self._idx_f2k = None
+                odom_factor = None
+                if odom_pose is not None and self.last_odom_pose is not None and len(self.kf_timestamps) > 1:
+                    delta = lie.se3_mul(
+                        lie.se3_inv(jnp.asarray(self.last_odom_pose[:7], jnp.float32)),
+                        jnp.asarray(odom_pose[:7], jnp.float32),
+                    )
+                    n = len(self.kf_timestamps)
+                    odom_factor = (n - 2, n - 1, np.asarray(delta))
+                    self.last_odom_pose = odom_pose
+                if self.local_opt_mode and odom_pose is not None:
+                    self.pgo = pgo_add_frame(
+                        self.pgo, jnp.asarray(self.current_T_WC), jnp.asarray(odom_pose[:7])
+                    )
+                    self.pgo, s, pgo_ok = pgo_optimize(self.pgo)
+                if self.use_backend:
+                    self._run_backend(len(self.kf_timestamps) - 1, odom_factor)
+        if odom_pose is not None and self.last_odom_pose is None:
+            self.last_odom_pose = odom_pose
+
+        self.frame_count += 1
+        return ok, self.current_T_WC, new_kf
+
+    # -- backend ---------------------------------------------------------------
+
+    def _backend_step(self, idx: int, odom_factor):
+        """One backend task (run_backend loop body, vio.py:109-157)."""
+        with self._backend_lock:
+            kf_idx: List[int] = [idx - 1 - j for j in range(min(1, idx))]
+            if self.retrieval is not None:
+                slot = int(idx) % self.store.capacity
+                feat = self.store.feat[slot][None]
+                retrieved = self.retrieval.update(
+                    feat, add_after_query=True, k=int(self.cfg.retrieval.k),
+                    min_thresh=float(self.cfg.retrieval.min_thresh),
+                )
+                kf_idx += retrieved
+            kf_set = set(kf_idx)
+            kf_set.discard(idx)
+            kf_list = sorted(kf_set)
+            if kf_list:
+                self.backend.add_factors(self.store, kf_list, [idx] * len(kf_list))
+            if odom_factor is not None:
+                self.backend.add_odometry_factors(*odom_factor)
+
+            s_bar = None
+            if self.height_prior_enabled:
+                uniq = self.backend.unique_kf_idx()
+                if uniq:
+                    slots = [k % self.store.capacity for k in uniq]
+                    pm = [np.asarray(self.store.X_canon[s]) for s in slots]
+                    sb = scale_targets(self.plane_estimator, pm, self.img_hw, self.camera_height)
+                    s_bar = np.full(max(uniq) + 1, -1.0, np.float32)
+                    for k, v in zip(uniq, sb):
+                        s_bar[k] = v
+            self.store = self.backend.solve_GN_rays(self.store, s_bar)
+            self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
+
+    def _run_backend(self, idx: int, odom_factor):
+        if self.single_thread:
+            self._backend_step(idx, odom_factor)
+        else:
+            if self._backend_thread is not None and self._backend_thread.is_alive():
+                self._backend_thread.join()  # one in flight at a time
+            self._backend_thread = threading.Thread(
+                target=self._backend_step, args=(idx, odom_factor), daemon=True
+            )
+            self._backend_thread.start()
+
+    # -- relocalization ---------------------------------------------------------
+
+    def _relocalize(self, frame: frame_mod.Frame, timestamp: float) -> bool:
+        """Retrieval-seeded relocalization (vio.py:29-72)."""
+        with self._backend_lock:
+            retrieved = self.retrieval.update(
+                frame.feat, add_after_query=False, k=int(self.cfg.retrieval.k),
+                min_thresh=float(self.cfg.retrieval.min_thresh),
+            )
+            if not retrieved:
+                return False
+            self.store = frame_mod.kf_append(self.store, frame)
+            self.kf_timestamps.append(timestamp)
+            n_kf = len(self.kf_timestamps)
+            ok = self.backend.add_factors(
+                self.store, [n_kf - 1] * len(retrieved), list(retrieved),
+                min_match_frac=float(self.cfg.reloc.min_match_frac),
+                is_reloc=bool(self.cfg.reloc.strict),
+            )
+            if not ok:
+                # pop the tentatively-added keyframe (vio.py:63-65)
+                self.store = dataclasses.replace(
+                    self.store, n_total=self.store.n_total - 1,
+                    n_size=self.store.n_size - 1,
+                )
+                self.kf_timestamps.pop()
+                return False
+            self.retrieval.update(frame.feat, add_after_query=True,
+                                  k=int(self.cfg.retrieval.k),
+                                  min_thresh=float(self.cfg.retrieval.min_thresh))
+            # seed pose from the first retrieved keyframe (vio.py:66)
+            seed_slot = int(retrieved[0]) % self.store.capacity
+            self.store = frame_mod.kf_update_T_WCs(
+                self.store, self.store.T_WC[seed_slot][None],
+                jnp.asarray([(n_kf - 1) % self.store.capacity]),
+            )
+            self.store = self.backend.solve_GN_rays(self.store)
+            self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
+        return True
+
+    # -- export -----------------------------------------------------------------
+
+    def keyframe_poses(self) -> Tuple[List[float], np.ndarray]:
+        """(timestamps, (N, 8) Sim3 poses) of live keyframes, oldest first."""
+        n = int(self.store.n_size)
+        total = int(self.store.n_total)
+        logical = list(range(max(0, total - n), total))
+        slots = [k % self.store.capacity for k in logical]
+        poses = np.asarray(self.store.T_WC[jnp.asarray(slots)])
+        stamps = self.kf_timestamps[-n:]
+        return stamps, poses
+
+    def get_pose(self) -> np.ndarray:
+        return self.current_T_WC
+
+
+VIO = SLAM  # reference-compatible alias (vio.py:163)

@@ -40,6 +40,9 @@ class TrackingCfg(NamedTuple):
     """Static tracking parameters (config/base.yaml:18-38)."""
 
     min_match_frac: float = 0.1
+    use_fnn: bool = False
+    min_match_frac_fnn: float = 0.0008
+    fnn_subsample: int = 8
     max_iters: int = 50
     C_conf: float = 0.0
     Q_conf: float = 1.5
@@ -177,7 +180,11 @@ def opt_pose_calib_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid, meas_
 # full tracking step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("model_cfg", "cfg", "match_cfg", "img_hw"))
+@partial(
+    jax.jit,
+    static_argnames=("model_cfg", "cfg", "match_cfg", "img_hw"),
+    donate_argnames=("store",),  # in-place slot updates: no store copy per frame
+)
 def track_step(
     params,
     model_cfg,
@@ -213,14 +220,43 @@ def track_step(
     idx_f2k = out.idx_f2k[0]  # (HW,)
     valid_match_k = out.valid_match_k[0]  # (HW, 1)
 
-    Qk = jnp.sqrt(out.Qff[idx_f2k] * out.Qkf)
     Cf_avg = frame.average_conf()
     Ck_avg = kf.average_conf()
-    Cf = Cf_avg[idx_f2k]
 
-    valid_opt = valid_match_k & (Cf > cfg.C_conf) & (Ck_avg > cfg.C_conf) & (Qk > cfg.Q_conf)
-    valid_kf = valid_match_k & (Qk > cfg.Q_conf)
-    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+    def gates(idx, valid_m):
+        Qk = jnp.sqrt(out.Qff[idx] * out.Qkf)
+        Cf = Cf_avg[idx]
+        v_opt = valid_m & (Cf > cfg.C_conf) & (Ck_avg > cfg.C_conf) & (Qk > cfg.Q_conf)
+        v_kf = valid_m & (Qk > cfg.Q_conf)
+        return Qk, v_opt, v_kf, jnp.mean(v_opt.astype(jnp.float32))
+
+    Qk, valid_opt, valid_kf, match_frac = gates(idx_f2k, valid_match_k)
+
+    used_fnn = jnp.asarray(False)
+    if cfg.use_fnn:
+        # descriptor reciprocal-NN fallback when projective matching is too
+        # sparse (tracker.py:222-272)
+        from ..ops.fast_nn import fast_reciprocal_nns
+
+        def fnn_branch(_):
+            xy1, xy2, conv = fast_reciprocal_nns(
+                out.Dff, out.Dkf, h, w, subsample=cfg.fnn_subsample
+            )
+            tgt = jnp.where(conv, xy2, hw)  # out-of-bounds rows dropped
+            idx_new = jnp.zeros((hw,), jnp.int32).at[tgt].set(xy1, mode="drop")
+            valid_new = (
+                jnp.zeros((hw,), bool).at[tgt].set(True, mode="drop")[:, None]
+            )
+            return idx_new, valid_new
+
+        fallback = match_frac < cfg.min_match_frac
+        idx_f2k, valid_match_k = jax.lax.cond(
+            fallback, fnn_branch, lambda _: (idx_f2k, valid_match_k), None
+        )
+        used_fnn = fallback
+        Qk, valid_opt, valid_kf, match_frac = gates(idx_f2k, valid_match_k)
+
+    accept_thresh = jnp.where(used_fnn, cfg.min_match_frac_fnn, cfg.min_match_frac)
 
     # points & poses (tracker.py:370-395)
     if cfg.use_calib:
@@ -247,7 +283,7 @@ def track_step(
         )
 
     # reject the frame wholesale if matching was too sparse or GN failed
-    accept = (match_frac >= cfg.min_match_frac) & ok
+    accept = (match_frac >= accept_thresh) & ok
     T_WCf_final = jnp.where(accept, T_WCf_new, frame.T_WC)
     frame = dataclasses.replace(frame, T_WC=T_WCf_final)
 

@@ -1,0 +1,12 @@
+#!/bin/bash
+# 7-Scenes evaluation (reference scripts/eval_7_scenes.sh); ground truths in
+# groundtruths/7-scenes/ of the reference release.
+set -e
+ROOT=${1:-datasets/7-scenes}
+GT=${2:-groundtruths/7-scenes}
+seqs=(chess fire heads office pumpkin redkitchen stairs)
+for seq in "${seqs[@]}"; do
+  echo "=== $seq"
+  python -m frodo_slam_tpu.main --dataset "$ROOT/$seq" --config configs/eval_calib.yaml --save-as 7-scenes
+  python -m frodo_slam_tpu.utils.ate "$GT/$seq.txt" "logs/7-scenes/$seq.txt"
+done

@@ -12,7 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# cpu-specific cache dir: entries compiled via the axon remote-compile
+# service carry different host CPU features and SIGILL-warn when loaded here
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache_cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 

@@ -1,0 +1,165 @@
+"""Auxiliary subsystem tests: PGO scale, height prior RANSAC, odometry
+motion model, IMU preintegration, ATE metric, evaluation exports."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frodo_slam_tpu.ops import lie
+
+
+def test_pgo_recovers_global_scale():
+    from frodo_slam_tpu.slam.pgo import make_pose_graph, pgo_add_frame, pgo_optimize
+
+    rng = np.random.default_rng(0)
+    state = make_pose_graph(64)
+    true_scale = 2.5
+    pos = np.zeros(3)
+    for i in range(20):
+        step = rng.normal(size=3) * 0.1
+        pos = pos + step
+        # VO pose: translation divided by the true scale (monocular ambiguity)
+        T_vo = np.concatenate([pos / true_scale, [0, 0, 0, 1], [1.0]]).astype(np.float32)
+        T_od = np.concatenate([pos, [0, 0, 0, 1]]).astype(np.float32)
+        state = pgo_add_frame(state, jnp.asarray(T_vo), jnp.asarray(T_od))
+    state, s, ok = pgo_optimize(state)
+    assert bool(ok)
+    np.testing.assert_allclose(float(s), true_scale, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.scale[:20]), true_scale, rtol=1e-4)
+
+
+def test_pgo_too_few_frames_noop():
+    from frodo_slam_tpu.slam.pgo import make_pose_graph, pgo_add_frame, pgo_optimize
+
+    state = make_pose_graph(16)
+    for i in range(5):
+        state = pgo_add_frame(state, jnp.ones(8), jnp.asarray([0, 0, 0, 0, 0, 0, 1.0]))
+    state, s, ok = pgo_optimize(state)
+    assert not bool(ok) and float(s) == 1.0
+
+
+def test_height_prior_plane():
+    from frodo_slam_tpu.slam.height_prior import RectanglePlaneEstimator
+
+    h, w = 24, 32
+    rng = np.random.default_rng(1)
+    # ground plane at camera height 0.5: y = 0.5 (camera y-down toward ground)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    X = np.stack([(uu - w / 2) / 10, np.full_like(uu, 0.5), 2 + vv / 10], axis=-1)
+    X += rng.normal(size=X.shape) * 0.002
+    est = RectanglePlaneEstimator(corners=((0, 0), (w - 1, h - 1)), min_inliers=50,
+                                  ransac_iterations=200)
+    height = est.run(X.reshape(-1, 3), (h, w))
+    assert height is not None
+    # plane y=0.5: normal (0,1,0), d=-0.5 -> height = -d/b = +0.5
+    np.testing.assert_allclose(height, 0.5, atol=0.02)
+
+    # tilted plane -> rejected
+    Xt = X.copy()
+    Xt[..., 1] += Xt[..., 2] * 0.5  # ~26 degrees
+    assert est.run(Xt.reshape(-1, 3), (h, w)) is None
+
+
+def test_wheel_odometry_straight_and_spin():
+    from frodo_slam_tpu.slam.odometry import WheelOdometryIntegrator, pos_yaw_to_se3
+
+    o = WheelOdometryIntegrator("mini")
+    # drive straight 1s at 60 rpm -> circumference meters
+    rows = [(60.0, 60.0, 60.0, 60.0, t) for t in np.linspace(0, 1, 11)]
+    o.integrate_rpms(rows)
+    circ = math.pi * 0.095
+    np.testing.assert_allclose(o.x, circ, rtol=1e-6)
+    np.testing.assert_allclose(o.y, 0.0, atol=1e-9)
+
+    # spinning (opposite signs) must NOT translate
+    o2 = WheelOdometryIntegrator("mini")
+    rows = [(30.0, -30.0, 30.0, -30.0, t) for t in np.linspace(0, 1, 11)]
+    o2.integrate_rpms(rows)
+    assert o2.x == 0.0 and o2.y == 0.0
+
+    # yaw update applies camera-offset compensation
+    o3 = WheelOdometryIntegrator("mini")
+    o3.apply_yaw(math.pi / 2)
+    r = 0.075
+    np.testing.assert_allclose(o3.x, r * (math.cos(math.pi / 2) - 1), atol=1e-9)
+    np.testing.assert_allclose(o3.y, r * math.sin(math.pi / 2), atol=1e-9)
+
+    # pos_yaw_to_se3 frame mapping (odometry.py:82-100): z <- x, x <- -y
+    T = pos_yaw_to_se3((1.0, 2.0), 0.0)
+    np.testing.assert_allclose(T[:3], [-2.0, 0.0, 1.0])
+
+
+def test_imu_preintegration_constant_accel():
+    from frodo_slam_tpu.slam.imu import IMUPreintegrator
+
+    pre = IMUPreintegrator(gravity_mag=9.81)
+    # stationary calibration: accel measures -g in body frame (upright)
+    gyro = np.zeros((50, 3)) + 0.01  # gyro bias
+    accel = np.tile(np.array([0.0, 9.81, 0.0]), (50, 1))
+    pre.calibrate_static(gyro, accel)
+    np.testing.assert_allclose(pre.bias_g, 0.01, atol=1e-6)
+
+    # accelerate at 1 m/s^2 along z for 1s -> v = 1, p = 0.5
+    n = 100
+    dts = np.full(n, 0.01)
+    gyro = np.tile(pre.bias_g, (n, 1))  # no rotation
+    accel = np.tile(np.array([0.0, 9.81, 1.0]), (n, 1)) + pre.bias_a
+    st = pre.update(gyro, accel, dts)
+    np.testing.assert_allclose(st.v, [0, 0, 1.0], atol=5e-3)
+    np.testing.assert_allclose(st.p, [0, 0, 0.5], atol=5e-3)
+
+
+def test_ate_rmse_known_offset(tmp_path):
+    from frodo_slam_tpu.utils.evaluate import ate_rmse, save_traj
+
+    rng = np.random.default_rng(2)
+    n = 50
+    ts = np.arange(n, dtype=float)
+    gt = np.cumsum(rng.normal(size=(n, 3)) * 0.1, axis=0)
+    # estimate = rotated+scaled+shifted gt plus 5cm noise -> ATE ~ noise level
+    from scipy.spatial.transform import Rotation  # noqa: F401
+
+    theta = 0.7
+    R = np.array([[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]])
+    est = 1.7 * gt @ R.T + np.array([1, 2, 3]) + rng.normal(size=(n, 3)) * 0.05
+
+    def dump(name, xyz):
+        poses = np.concatenate([xyz, np.tile([0, 0, 0, 1.0], (n, 1))], axis=1)
+        return save_traj(tmp_path, name, ts, poses)
+
+    gt_f = dump("gt.txt", gt)
+    est_f = dump("est.txt", est)
+    rmse = ate_rmse(gt_f, est_f)
+    assert 0.02 < rmse < 0.1, rmse
+
+
+def test_viz_export_and_render(tmp_path):
+    import matplotlib  # noqa: F401
+
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.system import SLAM
+    from frodo_slam_tpu.viz.visualization import SLAMViewer, export_state
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    params["head2"] = params["head1"]
+    params["dec_blocks2"] = params["dec_blocks"]
+    cfg = make_config(tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                                "max_iters": 5},
+                      local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 1},
+                      tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8})
+    slam = SLAM(cfg, params, mcfg, (32, 64), retrieval_db=None, use_backend=True,
+                use_reloc=False, single_thread=True)
+    img = np.random.default_rng(0).uniform(0, 1, (32, 64, 3)).astype(np.float32)
+    for i in range(3):
+        slam.grab_rgb(img, timestamp=float(i))
+
+    npz = export_state(slam, str(tmp_path / "state.npz"))
+    data = np.load(npz)
+    assert data["T_WC"].shape[1] == 8 and data["X_canon"].shape[0] == int(slam.store.n_size)
+
+    png = SLAMViewer(conf_threshold=0.0).render(slam, str(tmp_path / "map.png"))
+    assert (tmp_path / "map.png").stat().st_size > 1000

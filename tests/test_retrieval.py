@@ -92,3 +92,39 @@ def test_ivf_norm_factor():
     ivf.add(des, np.array([0, 1, 2]), np.array([0, 0, 0]))
     assert ivf.n_images == 1
     assert ivf.norm_factor[0] == 3
+
+
+def test_native_kernels_match_numpy():
+    """The C popcount kernels (native/asmk_kernels.cpp) must agree with the
+    numpy reference implementations."""
+    try:
+        from frodo_slam_tpu.utils import native
+    except ImportError:
+        import pytest
+
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(6, 70)).astype(np.float32)
+    np.testing.assert_array_equal(native.binarize_and_pack_2d(vecs), binarize_and_pack(vecs))
+
+    a = binarize_and_pack(rng.normal(size=(4, 64)).astype(np.float32))
+    b = binarize_and_pack(rng.normal(size=(9, 64)).astype(np.float32))
+    # force the numpy path for the reference value
+    from frodo_slam_tpu.retrieval import asmk as asmk_mod
+
+    x = a[:, None, :] ^ b[None, :, :]
+    counts = asmk_mod._POPCNT_TABLE[x.view(np.uint8).reshape(*x.shape[:2], -1)].sum(axis=-1)
+    ref = counts.astype(np.float32) / 64.0
+    np.testing.assert_allclose(native.hamming_cdist_packed(a, b, 64), ref)
+
+    # fused accumulate vs explicit formula (alpha=3)
+    imids = rng.integers(0, 3, size=b.shape[0]).astype(np.int64)
+    norm = np.abs(rng.normal(size=3)) + 1.0
+    scores_native = np.zeros(3)
+    native.asmk_accumulate_word(a[0], b, imids, 64, 0.0, norm, scores_native)
+    sim = -2.0 * ref[0] + 1.0
+    mask = sim >= 0.0
+    scores_ref = np.zeros(3)
+    np.add.at(scores_ref, imids[mask], sim[mask] ** 3 / np.sqrt(norm[imids[mask]]))
+    np.testing.assert_allclose(scores_native, scores_ref, rtol=1e-6)

@@ -1,0 +1,117 @@
+"""End-to-end system tests through SLAM.grab_rgb.
+
+Random weights give head1 != head2, so cross-view pointmaps never agree and
+tracking legitimately fails. For the success-path test we share head2 :=
+head1 (and decoder2 := decoder), making identical input frames produce
+identical X11/X21 and perfect descriptor matches — the whole pipeline
+(tracking GN, keyframing, backend BA, retrieval insertion) then runs its
+success branches deterministically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frodo_slam_tpu.config import make_config
+from frodo_slam_tpu.models import mast3r
+from frodo_slam_tpu.retrieval.asmk import Codebook
+from frodo_slam_tpu.retrieval.database import RetrievalDatabase
+from frodo_slam_tpu.retrieval.model import RetrievalHead
+from frodo_slam_tpu.slam.frame import Mode
+from frodo_slam_tpu.slam.system import SLAM
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), cfg)
+    params["head2"] = params["head1"]
+    params["dec_blocks2"] = params["dec_blocks"]
+    return params, cfg
+
+
+def _img(seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+
+def _make_slam(tiny_model, **overrides):
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8},
+        **overrides,
+    )
+    head = RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=mcfg.enc_embed_dim,
+                              hdims=[mcfg.enc_embed_dim], nfeat=8)
+    db = RetrievalDatabase(head, Codebook.random(np.random.default_rng(0), 64, mcfg.enc_embed_dim))
+    return SLAM(cfg, params, mcfg, (H, W), retrieval_db=db,
+                use_backend=True, use_reloc=False, single_thread=True)
+
+
+def test_slam_success_path_with_backend(tiny_model):
+    slam = _make_slam(tiny_model)
+    img = _img(0)
+
+    ok, pose, new_kf = slam.grab_rgb(img, timestamp=0.0)
+    assert ok and new_kf and slam.mode == Mode.TRACKING
+
+    for i in range(1, 4):
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(i))
+        assert ok, f"frame {i} lost tracking"
+        assert new_kf  # match_frac_thresh > 1 forces keyframing
+        assert np.all(np.isfinite(pose))
+        # identical frames: pose stays at identity
+        np.testing.assert_allclose(pose[:3], 0.0, atol=5e-2)
+        np.testing.assert_allclose(pose[7], 1.0, atol=5e-2)
+
+    assert int(slam.store.n_size) == 4
+    assert slam.retrieval.kf_counter == 4
+    # backend built at least the consecutive edges
+    assert len(slam.backend._pairs) >= 2
+
+    stamps, poses = slam.keyframe_poses()
+    assert len(stamps) == 4 and poses.shape == (4, 8)
+    assert np.all(np.isfinite(poses))
+    slam.terminate()
+
+
+def test_slam_loss_triggers_map_reset(tiny_model):
+    params, mcfg = tiny_model
+    # random independent heads -> tracking must fail
+    bad_params = mast3r.init_params(jax.random.PRNGKey(3), mcfg)
+    cfg = make_config(tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8})
+    slam = SLAM(cfg, bad_params, mcfg, (H, W), retrieval_db=None,
+                use_backend=False, use_reloc=False, single_thread=True)
+
+    slam.grab_rgb(_img(0), timestamp=0.0)
+    assert slam.mode == Mode.TRACKING
+    n_reset = int(cfg.tracking.new_map_after_loss_track_N)
+    for i in range(1, n_reset + 1):
+        ok, pose, new_kf = slam.grab_rgb(_img(i * 7), timestamp=float(i))
+    # after N consecutive losses the map resets and re-inits on the last frame
+    assert slam.mode == Mode.TRACKING
+    assert int(slam.store.n_total) == 1  # fresh map with one keyframe
+    assert slam.loss_track_counter == 0
+    slam.terminate()
+
+
+def test_slam_with_odometry_factors(tiny_model):
+    from frodo_slam_tpu.slam.odometry import pos_yaw_to_se3
+
+    slam = _make_slam(tiny_model)
+    slam.local_opt_mode = True
+    img = _img(0)
+    for i in range(4):
+        odom = np.concatenate([pos_yaw_to_se3((0.1 * i, 0.0), 0.0), [1.0]]).astype(np.float32)
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(i), odom_pose=odom)
+        assert ok
+    # odometry factors landed in the backend
+    assert slam.backend._n_odom >= 1
+    assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
+    slam.terminate()
