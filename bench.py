@@ -22,7 +22,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# NOTE: x64 stays OFF here. The tracking hot path is f32/bf16 end to end;
+# only the backend BA solve wants f64 (bench doesn't run it), and int64
+# index arithmetic measurably slows the matcher gathers on TPU.
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -62,10 +64,18 @@ def main():
     frames = [jnp.asarray(base[i % 8 : i % 8 + h, i % 8 : i % 8 + w][None]) for i in range(n_frames)]
 
     import dataclasses
+    from functools import partial
 
     @jax.jit
     def encode(params, img):
         return mast3r.encode_image(params, mcfg, img)
+
+    @partial(jax.jit, donate_argnames=("store",), static_argnames=("i",))
+    def full_step(params, store, img, i, idx_init):
+        """encode + track in ONE dispatch per frame."""
+        feat, pos = mast3r.encode_image(params, mcfg, img)
+        fr = frame_mod.make_empty_frame(i, img, feat, pos)
+        return track_step(params, mcfg, tcfg, match_cfg, (h, w), store, fr, idx_init)
 
     # init keyframe (mono decode)
     feat, pos = encode(params, frames[0])
@@ -76,16 +86,16 @@ def main():
     store = frame_mod.kf_append(store, f0)
 
     def one_frame(store, img, i, idx_init):
-        feat, pos = encode(params, img)
-        fr = frame_mod.make_empty_frame(i, img, feat, pos)
-        store, fr, res = track_step(params, mcfg, tcfg, match_cfg, (h, w), store, fr, idx_init)
+        store, fr, res = full_step(params, store, img, 0, idx_init)
         return store, res
 
-    # warmup / compile
-    store_w, res = one_frame(store, frames[1], 1, None)
-    jax.block_until_ready(res.T_WCf)
+    # warmup / compile (track_step donates the store: keep the returned one)
+    store, res = one_frame(store, frames[1], 1, None)
+    _ = float(res.match_frac)
 
-    # steady state
+    # steady state: fully pipelined (flags fetched once at the end — on a
+    # directly-attached TPU per-frame scalar fetches are ~free, but the
+    # remote tunnel used here charges seconds per early sync)
     t0 = time.perf_counter()
     idx_init = res.idx_f2k
     last = None
@@ -93,7 +103,7 @@ def main():
         store, res = one_frame(store, frames[i], i, idx_init)
         idx_init = res.idx_f2k
         last = res
-    jax.block_until_ready(last.T_WCf)
+    _ = float(last.match_frac)
     dt = time.perf_counter() - t0
     fps = (n_frames - 2) / dt
 

@@ -51,7 +51,11 @@ def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
     pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)
 
     if idx_1_to_2_init is None:
-        idx_1_to_2_init = jnp.broadcast_to(jnp.arange(h * w)[None], (b, h * w))
+        # int32 explicitly: under x64 a bare arange would drag int64 through
+        # every index op of the matcher
+        idx_1_to_2_init = jnp.broadcast_to(
+            jnp.arange(h * w, dtype=jnp.int32)[None], (b, h * w)
+        )
     p_init = lin_to_pixel(idx_1_to_2_init, w).astype(rays.dtype)
     return rays_with_grad, pts3d_norm, p_init
 
@@ -163,14 +167,18 @@ def iter_proj(
 
 
 @partial(jax.jit, static_argnames=("radius", "dilation_max"))
-def refine_matches(
+def refine_matches_gather(
     D11: jax.Array,
     D21: jax.Array,
     p1: jax.Array,
     radius: int = 3,
     dilation_max: int = 5,
 ):
-    """Coarse-to-fine dilated descriptor search (matching_kernels.cu:25-85).
+    """Coarse-to-fine dilated descriptor search (matching_kernels.cu:25-85),
+    gather formulation — the literal transcription of the CUDA kernel. Kept
+    as the semantic oracle; the production path is
+    :func:`refine_matches_shift` (TPU gathers run ~20x below the shift
+    formulation's streaming bandwidth).
 
     Args:
         D11: (b, h, w, f) descriptor image.
@@ -227,6 +235,109 @@ def refine_matches(
         u0, v0 = u_best, v_best
 
     return jnp.stack([u_best, v_best], axis=-1), max_score
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches_shift(
+    D11: jax.Array,
+    D21: jax.Array,
+    p1: jax.Array,
+    radius: int = 3,
+    dilation_max: int = 5,
+):
+    """Coarse-to-fine dilated descriptor search, scatter+shift formulation.
+
+    TPU-native re-derivation of ``refine_matches_kernel``
+    (matching_kernels.cu:25-125): instead of gathering a descriptor window
+    per query (fine-grained gathers run ~20x below HBM speed on TPU), each
+    query's descriptor is scattered once into an image-shaped buffer at its
+    current center, and every window offset becomes ONE shifted elementwise
+    dot over contiguous (H, W, F) planes — pure VPU streaming. Levels
+    recenter at the per-query running best exactly like the reference.
+
+    Semantics note: queries whose current centers collide on one pixel
+    cannot share a scatter slot. Every query is seeded with its true center
+    score (one cheap gather), winners refine level by level exactly like the
+    reference, and collision losers simply keep their running best — a
+    truncated coarse-to-fine rather than a wrong answer. Scores are always
+    genuine descriptor dots at genuine probe positions; colliding duplicates
+    may end less refined than the reference's redundant evaluation. Exact
+    behavior remains available via :func:`refine_matches_gather`.
+    """
+    b, h, w, f = D11.shape
+    hw = h * w
+    n_side = 2 * radius + 1
+    qid = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
+
+    u0 = p1[..., 0].astype(jnp.int32)
+    v0 = p1[..., 1].astype(jnp.int32)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.float32)
+    # seed with the center probe (the (0,0) offset of every reference
+    # window) via one direct gather — collision losers keep at least this
+    flat = D11.reshape(b, hw, f)
+    center_desc = jnp.take_along_axis(flat, (v0 * w + u0)[..., None], axis=1)
+    max_score = jnp.sum(center_desc * D21, axis=-1)
+    u_best, v_best = u0, v0
+
+    pad = radius * dilation_max
+    hp, wp = h + 2 * pad, w + 2 * pad
+    D11p = jnp.pad(D11, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    inside = jnp.pad(jnp.ones((1, h, w), jnp.float32), ((0, 0), (pad, pad), (pad, pad)))
+
+    def scatter_img(vals, u, v, fill, ch):
+        """(b, hw, ch) vals -> (b, h, w, ch) image at (clamped) centers."""
+        uc = jnp.clip(u, 0, w - 1)
+        vc = jnp.clip(v, 0, h - 1)
+        img = jnp.full((b, h, w, ch), fill, vals.dtype)
+        bi = jnp.arange(b)[:, None]
+        return img.at[bi, vc, uc].set(vals), uc, vc
+
+    for d in range(dilation_max, 0, -1):
+        rd = radius * d
+        Q, uc, vc = scatter_img(D21, u_best, v_best, 0.0, f)
+        ids_img, _, _ = scatter_img(qid[..., None], u_best, v_best, -1, 1)
+        bi = jnp.arange(b)[:, None]
+        is_winner = ids_img[bi, vc, uc, 0] == qid
+
+        # per-pixel best offset over the level's window: shifted dots
+        lvl_score = jnp.full((b, h, w), neg_inf, jnp.float32)
+        lvl_du = jnp.zeros((b, h, w), jnp.int32)
+        lvl_dv = jnp.zeros((b, h, w), jnp.int32)
+        for i in range(n_side):
+            for j in range(n_side):
+                du, dv = i * d - rd, j * d - rd
+                shifted = jax.lax.dynamic_slice(
+                    D11p, (0, pad + dv, pad + du, 0), (b, h, w, f)
+                )
+                m = jax.lax.dynamic_slice(inside, (0, pad + dv, pad + du), (1, h, w))
+                sc = jnp.einsum("bhwf,bhwf->bhw", Q, shifted)
+                sc = jnp.where(m > 0, sc, neg_inf)
+                better = sc > lvl_score
+                lvl_score = jnp.where(better, sc, lvl_score)
+                lvl_du = jnp.where(better, du, lvl_du)
+                lvl_dv = jnp.where(better, dv, lvl_dv)
+
+        # map the per-pixel result back to each query at its center
+        sc_q = lvl_score[bi, vc, uc]
+        du_q = lvl_du[bi, vc, uc]
+        dv_q = lvl_dv[bi, vc, uc]
+        # the probe coordinates are relative to the (unclamped) center,
+        # mirroring the gather kernel's out-of-image masking
+        u_cand = u_best + du_q
+        v_cand = v_best + dv_q
+        ok = (
+            is_winner
+            & (sc_q > max_score)
+            & (u_cand >= 0) & (u_cand < w) & (v_cand >= 0) & (v_cand < h)
+        )
+        max_score = jnp.where(ok, sc_q, max_score)
+        u_best = jnp.where(ok, u_cand, u_best)
+        v_best = jnp.where(ok, v_cand, v_best)
+
+    return jnp.stack([u_best, v_best], axis=-1), max_score
+
+
+refine_matches = refine_matches_shift
 
 
 @partial(

@@ -324,19 +324,26 @@ def solve_gn_rays(
         H = H.at[diag_idx, diag_idx].add(sp_w)
         g = g.at[diag_idx].add(sp_w * r_s[num_fix:])
 
-        # solve in f64 (the reference solves in double on the CPU,
-        # gn_kernels.cu:163-199); zero update on failure. A tiny Tikhonov
-        # term (the reference's ep/lm hooks, gn_kernels.cu:163-167) keeps
-        # unconstrained DoFs harmlessly at zero instead of failing the whole
-        # factorization.
-        H64 = H.astype(jnp.float64)
-        g64 = g.astype(jnp.float64)
-        damp = 1e-8 * jnp.maximum(jnp.max(jnp.diag(H64)), 1.0)
-        H64 = H64 + damp * jnp.eye(H64.shape[0], dtype=jnp.float64)
-        L = jnp.linalg.cholesky(H64)
+        # Solve. With x64 enabled this matches the reference's double-
+        # precision Eigen solve (gn_kernels.cu:163-199); without it we solve
+        # in f32 with one step of iterative refinement, which recovers the
+        # accuracy the huge ray information weights (1/sigma_ray^2 ~ 1e5)
+        # would otherwise lose. A tiny Tikhonov term (the reference's ep/lm
+        # hooks) keeps unconstrained DoFs harmlessly at zero instead of
+        # failing the whole factorization.
+        f64 = jax.config.jax_enable_x64
+        sdt = jnp.float64 if f64 else jnp.float32
+        Hs = H.astype(sdt)
+        gs = g.astype(sdt)
+        damp = (1e-8 if f64 else 1e-6) * jnp.maximum(jnp.max(jnp.diag(Hs)), 1.0)
+        Hs = Hs + damp * jnp.eye(Hs.shape[0], dtype=sdt)
+        L = jnp.linalg.cholesky(Hs)
         ok = jnp.all(jnp.isfinite(L))
-        L = jnp.where(ok, L, jnp.eye(H64.shape[0], dtype=jnp.float64))
-        dx = -jax.scipy.linalg.cho_solve((L, True), g64)
+        L = jnp.where(ok, L, jnp.eye(Hs.shape[0], dtype=sdt))
+        dx = -jax.scipy.linalg.cho_solve((L, True), gs)
+        if not f64:
+            resid = -gs - Hs @ dx
+            dx = dx + jax.scipy.linalg.cho_solve((L, True), resid)
         dx = jnp.where(ok, dx, 0.0).reshape(p_opt, 7).astype(T_WC_in.dtype)
 
         # retract non-fixed poses (pose_retr_kernel, gn_kernels.cu:482-560)
