@@ -166,16 +166,29 @@ def decode(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2):
     x1 = linear(params["decoder_embed"], f1.astype(cfg.dtype))
     x2 = linear(params["decoder_embed"], f2.astype(cfg.dtype))
 
-    def step(carry, layer_p):
-        x1, x2 = carry
-        p1_, p2_ = layer_p
-        nx1 = decoder_block(p1_, x1, x2, pos1, pos2, cfg.dec_num_heads, cfg.rope_base)
-        nx2 = decoder_block(p2_, x2, x1, pos2, pos1, cfg.dec_num_heads, cfg.rope_base)
-        return (nx1, nx2), (nx1, nx2)
+    # The two decoders are independent weight stacks over mirrored inputs;
+    # pair them into one batched computation (vmap over stacked weights) so
+    # every matmul is twice as large and the kernel count halves — B=1
+    # two-view decode is otherwise badly MXU-underutilized.
+    xp = jnp.stack([x1, x2])  # (2, B, N, D)
+    pp = jnp.stack([pos1, pos2])
+    pp_swap = jnp.flip(pp, axis=0)
+    paired = jax.tree.map(
+        lambda a, b: jnp.stack([a, b], axis=1), params["dec_blocks"], params["dec_blocks2"]
+    )  # leaves (L, 2, ...)
 
-    (_, _), (ys1, ys2) = jax.lax.scan(
-        step, (x1, x2), (params["dec_blocks"], params["dec_blocks2"])
+    block_pair = jax.vmap(
+        lambda p, x, y, px, py: decoder_block(p, x, y, px, py, cfg.dec_num_heads, cfg.rope_base)
     )
+
+    def step(carry, layer_p):
+        xp = carry
+        yp = jnp.flip(xp, axis=0)  # each stream cross-attends to the other
+        xp_new = block_pair(layer_p, xp, yp, pp, pp_swap)
+        return xp_new, xp_new
+
+    _, ys = jax.lax.scan(step, xp, paired)  # (L, 2, B, N, D)
+    ys1, ys2 = ys[:, 0], ys[:, 1]
     # ys: (depth, B, N, D); hook indices 1..depth map to ys[hook-1]
     h1, h2, h3 = cfg.hooks[1] - 1, cfg.hooks[2] - 1, cfg.hooks[3] - 1
     d1_last = layernorm(params["dec_norm"], ys1[h3]).astype(jnp.float32)
@@ -200,10 +213,17 @@ def downstream_head(params_head: Params, cfg: MASt3RConfig, hooks: List[jax.Arra
 
 def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_hw):
     """One decoder pass + both heads — the reference's ``decoder()``
-    (mast3r_utils.py:56-72). Returns (res1, res2) dicts."""
+    (mast3r_utils.py:56-72). Returns (res1, res2) dicts.
+
+    Like the decoder streams, the two heads are independent weight stacks
+    over mirrored inputs: vmap over stacked head params doubles the DPT conv
+    batch instead of running two B-sized head passes."""
     hooks1, hooks2 = decode(params, cfg, f1, pos1, f2, pos2)
-    res1 = downstream_head(params["head1"], cfg, hooks1, img_hw)
-    res2 = downstream_head(params["head2"], cfg, hooks2, img_hw)
+    heads = jax.tree.map(lambda a, b: jnp.stack([a, b]), params["head1"], params["head2"])
+    hooks = [jnp.stack([h1, h2]) for h1, h2 in zip(hooks1, hooks2)]
+    res = jax.vmap(lambda p, *hk: downstream_head(p, cfg, list(hk), img_hw))(heads, *hooks)
+    res1 = jax.tree.map(lambda x: x[0], res)
+    res2 = jax.tree.map(lambda x: x[1], res)
     return res1, res2
 
 

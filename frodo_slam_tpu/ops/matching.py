@@ -60,29 +60,35 @@ def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
     return rays_with_grad, pts3d_norm, p_init
 
 
-def _bilinear_gather(img_flat: jax.Array, u, v, w: int):
-    """Bilinear sample of (b, h*w, c) flattened image at float coords.
+def _bilinear_gather(img: jax.Array, u, v):
+    """Bilinear sample of a (b, h, w, c) image at float coords (b, n).
 
     Assumes coords already clamped to [1, w-2] x [1, h-2] so all four corners
-    are in range (matching_kernels.cu:151-183).
+    are in range (matching_kernels.cu:151-183). The 2x2 corner block comes
+    from ONE vmapped dynamic_slice (lowered to a single gather with slice
+    sizes (2, 2, c)) instead of four separate row gathers — TPU gathers pay
+    per op, and the 2x2xc block is contiguous-ish in memory.
     """
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    du = (u - u0)[..., None]
-    dv = (v - v0)[..., None]
-    u0 = u0.astype(jnp.int32)
-    v0 = v0.astype(jnp.int32)
+    c = img.shape[-1]
+    u0f = jnp.floor(u)
+    v0f = jnp.floor(v)
+    du = (u - u0f)[..., None]
+    dv = (v - v0f)[..., None]
+    u0 = u0f.astype(jnp.int32)
+    v0 = v0f.astype(jnp.int32)
 
-    base = v0 * w + u0
+    zero = jnp.zeros((), jnp.int32)
 
-    def g(ind):
-        return jnp.take_along_axis(img_flat, ind[..., None], axis=1)
+    def per_image(im, ys, xs):
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(im, (y, x, zero), (2, 2, c))
+        )(ys, xs)
 
-    i00 = g(base)          # (u0, v0)
-    i10 = g(base + 1)      # (u0+1, v0)
-    i01 = g(base + w)      # (u0, v0+1)
-    i11 = g(base + w + 1)  # (u0+1, v0+1)
-
+    blk = jax.vmap(per_image)(img, v0, u0)  # (b, n, 2, 2, c)
+    i00 = blk[:, :, 0, 0]
+    i10 = blk[:, :, 0, 1]
+    i01 = blk[:, :, 1, 0]
+    i11 = blk[:, :, 1, 1]
     return (
         i00 * (1 - du) * (1 - dv)
         + i10 * du * (1 - dv)
@@ -91,9 +97,9 @@ def _bilinear_gather(img_flat: jax.Array, u, v, w: int):
     )
 
 
-def _ray_cost(rays_flat, u, v, w, target):
+def _ray_cost(rays_img, u, v, target):
     """Sampled-and-normalized ray error vs target (matching_kernels.cu:194-207)."""
-    r = _bilinear_gather(rays_flat, u, v, w)[..., :3]
+    r = _bilinear_gather(rays_img[..., :3], u, v)
     r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
     err = r - target
     return err, jnp.sum(err * err, axis=-1)
@@ -121,7 +127,6 @@ def iter_proj(
         p_new (b, n, 2) float, converged (b, n) bool.
     """
     b, h, w, c = rays_with_grad_img.shape
-    flat = rays_with_grad_img.reshape(b, h * w, c)
 
     u = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
     v = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
@@ -130,7 +135,7 @@ def iter_proj(
 
     def body(_, state):
         u, v, lam, converged = state
-        samp = _bilinear_gather(flat, u, v, w)
+        samp = _bilinear_gather(rays_with_grad_img, u, v)
         r = samp[..., 0:3]
         gx = samp[..., 3:6]
         gy = samp[..., 6:9]
@@ -151,7 +156,7 @@ def iter_proj(
         u_new = jnp.clip(u + du, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv, 1.0, h - 2.0)
 
-        _, new_cost = _ray_cost(flat, u_new, v_new, w, pts3d_norm)
+        _, new_cost = _ray_cost(rays_with_grad_img, u_new, v_new, pts3d_norm)
 
         accept = new_cost < cost
         u = jnp.where(accept, u_new, u)

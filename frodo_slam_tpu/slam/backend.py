@@ -151,17 +151,14 @@ class BackendGraph:
 
     def _shift_rows(self, pair_idx: int):
         """Compact padded rows after evicting pair ``pair_idx`` (host-rare)."""
-        n = len(self._pairs) + 1  # before pop accounting handled by caller
         e = self.edges
 
         def shift(a):
-            rows = jnp.concatenate(
+            return jnp.concatenate(
                 [a[: 2 * pair_idx], a[2 * pair_idx + 2 :], jnp.zeros_like(a[:2])], axis=0
             )
-            return rows
 
         self.edges = Edges(*[shift(getattr(e, f)) for f in Edges._fields])
-        del n
 
     def remove_dead_edges(self, oldest_alive: int):
         """Drop edges touching overwritten ring slots (_materialise_edges,
@@ -227,14 +224,6 @@ class BackendGraph:
         T_win = store.T_WC[slots]
         X_win = store.X_canon[slots]
         C_win = store.C[slots] / jnp.maximum(store.N[slots], 1)[:, None, None].astype(store.C.dtype)
-
-        def remap(arr, pairs, fallback):
-            vals = []
-            for n in range(arr.shape[0]):
-                if n // 2 < len(pairs) if fallback == "edge" else n < len(pairs):
-                    pass
-                vals.append(0)
-            return vals
 
         # edge indices -> window positions (padded rows point at 0 but are inactive)
         e_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(self.edges.ii)]

@@ -194,26 +194,36 @@ def make_keyframe_store(capacity: int, hw: int, n_tok: int, enc_dim: int,
     )
 
 
-def kf_append(store: KeyframeStore, frame: Frame) -> KeyframeStore:
+def kf_append(store: KeyframeStore, frame: Frame, enable=None) -> KeyframeStore:
     """Append a frame as a keyframe (SharedKeyframes.append, frame.py:443-466).
 
-    Jit-traceable; overwrites the oldest slot when full.
+    Jit-traceable; overwrites the oldest slot when full. ``enable`` (traced
+    bool) makes the append a masked in-place write — see kf_update_pointmap
+    for why that beats wrapping in lax.cond.
     """
     slot = store.slot_of(store.n_total)
     odom = frame.odom if frame.odom is not None else store.odom[slot]
+
+    if enable is None:
+        sel = lambda new, old: new  # noqa: E731
+        en = True
+    else:
+        en = enable
+        sel = lambda new, old: jnp.where(en, new, old)  # noqa: E731
+
     return dataclasses.replace(
         store,
-        frame_id=store.frame_id.at[slot].set(frame.frame_id),
-        T_WC=store.T_WC.at[slot].set(frame.T_WC),
-        X_canon=store.X_canon.at[slot].set(frame.X_canon),
-        C=store.C.at[slot].set(frame.C),
-        feat=store.feat.at[slot].set(frame.feat[0]),
+        frame_id=store.frame_id.at[slot].set(sel(frame.frame_id, store.frame_id[slot])),
+        T_WC=store.T_WC.at[slot].set(sel(frame.T_WC, store.T_WC[slot])),
+        X_canon=store.X_canon.at[slot].set(sel(frame.X_canon, store.X_canon[slot])),
+        C=store.C.at[slot].set(sel(frame.C, store.C[slot])),
+        feat=store.feat.at[slot].set(sel(frame.feat[0], store.feat[slot])),
         pos=frame.pos[0],
-        N=store.N.at[slot].set(frame.N),
-        N_updates=store.N_updates.at[slot].set(frame.N_updates),
-        odom=store.odom.at[slot].set(odom),
-        n_size=jnp.minimum(store.n_size + 1, store.capacity),
-        n_total=store.n_total + 1,
+        N=store.N.at[slot].set(sel(frame.N, store.N[slot])),
+        N_updates=store.N_updates.at[slot].set(sel(frame.N_updates, store.N_updates[slot])),
+        odom=store.odom.at[slot].set(sel(odom, store.odom[slot])),
+        n_size=jnp.minimum(store.n_size + jnp.where(en, 1, 0), store.capacity),
+        n_total=store.n_total + jnp.where(en, 1, 0),
     )
 
 
@@ -233,10 +243,23 @@ def kf_get_frame(store: KeyframeStore, slot: jax.Array) -> Frame:
     )
 
 
-def kf_update_pointmap(store: KeyframeStore, slot, X, C, mode: str) -> KeyframeStore:
+def kf_update_pointmap(store: KeyframeStore, slot, X, C, mode: str,
+                       enable=None) -> KeyframeStore:
+    """``enable``: optional traced bool — a masked in-place slot write.
+
+    Guarding with ``jnp.where`` instead of ``lax.cond`` matters on TPU:
+    donation does not alias through cond branches, so a cond over the store
+    copies every buffer (~130 ms/frame measured); the masked write is a pair
+    of dynamic slice/update ops on one slot.
+    """
     Xn, Cn, Nn, Un = update_pointmap(
         store.X_canon[slot], store.C[slot], store.N[slot], store.N_updates[slot], X, C, mode
     )
+    if enable is not None:
+        Xn = jnp.where(enable, Xn, store.X_canon[slot])
+        Cn = jnp.where(enable, Cn, store.C[slot])
+        Nn = jnp.where(enable, Nn, store.N[slot])
+        Un = jnp.where(enable, Un, store.N_updates[slot])
     return dataclasses.replace(
         store,
         X_canon=store.X_canon.at[slot].set(Xn),

@@ -222,15 +222,19 @@ def track_step(
 
     Cf_avg = frame.average_conf()
     Ck_avg = kf.average_conf()
+    # one fused row gather for everything indexed by idx_f2k (TPU gathers
+    # pay per gather op, so don't issue three)
+    frame_cols = jnp.concatenate([out.Qff, Cf_avg, frame.X_canon], axis=-1)  # (HW, 5)
 
     def gates(idx, valid_m):
-        Qk = jnp.sqrt(out.Qff[idx] * out.Qkf)
-        Cf = Cf_avg[idx]
+        g = frame_cols[idx]
+        Qk = jnp.sqrt(g[:, 0:1] * out.Qkf)
+        Cf = g[:, 1:2]
         v_opt = valid_m & (Cf > cfg.C_conf) & (Ck_avg > cfg.C_conf) & (Qk > cfg.Q_conf)
         v_kf = valid_m & (Qk > cfg.Q_conf)
-        return Qk, v_opt, v_kf, jnp.mean(v_opt.astype(jnp.float32))
+        return g, Qk, v_opt, v_kf, jnp.mean(v_opt.astype(jnp.float32))
 
-    Qk, valid_opt, valid_kf, match_frac = gates(idx_f2k, valid_match_k)
+    gathered, Qk, valid_opt, valid_kf, match_frac = gates(idx_f2k, valid_match_k)
 
     used_fnn = jnp.asarray(False)
     if cfg.use_fnn:
@@ -254,7 +258,7 @@ def track_step(
             fallback, fnn_branch, lambda _: (idx_f2k, valid_match_k), None
         )
         used_fnn = fallback
-        Qk, valid_opt, valid_kf, match_frac = gates(idx_f2k, valid_match_k)
+        gathered, Qk, valid_opt, valid_kf, match_frac = gates(idx_f2k, valid_match_k)
 
     accept_thresh = jnp.where(used_fnn, cfg.min_match_frac_fnn, cfg.min_match_frac)
 
@@ -276,7 +280,7 @@ def track_step(
             cfg, Xf, Xk, frame.T_WC, kf.T_WC, Qk, valid_opt, meas_k, valid_meas_k, K, img_hw
         )
     else:
-        Xf = frame.X_canon[idx_f2k]
+        Xf = gathered[:, 2:5]  # frame.X_canon rows, from the fused gather
         Xk = kf.X_canon
         T_WCf_new, T_CkCf, ok = opt_pose_ray_dist_sim3(
             cfg, Xf, Xk, frame.T_WC, kf.T_WC, Qk, valid_opt
@@ -287,23 +291,25 @@ def track_step(
     T_WCf_final = jnp.where(accept, T_WCf_new, frame.T_WC)
     frame = dataclasses.replace(frame, T_WC=T_WCf_final)
 
-    # keyframe pointmap update: Xkk = T_CkCf . Xkf (tracker.py:325-328)
+    # keyframe pointmap update: Xkk = T_CkCf . Xkf (tracker.py:325-328).
+    # Masked in-place write, NOT lax.cond — cond copies the whole store
+    # (donation doesn't alias through branches).
     Xkk = lie.sim3_act(T_CkCf, out.Xkf)
-    store = jax.lax.cond(
-        accept,
-        lambda s: frame_mod.kf_update_pointmap(s, kf_slot, Xkk, out.Ckf, cfg.filtering_mode),
-        lambda s: s,
-        store,
+    store = frame_mod.kf_update_pointmap(
+        store, kf_slot, Xkk, out.Ckf, cfg.filtering_mode, enable=accept
     )
 
-    # new-KF decision: unique valid matches / HW (tracker.py:330-331)
-    hits = jnp.zeros((hw,), jnp.float32).at[idx_f2k].max(valid_kf[:, 0].astype(jnp.float32))
-    unique_frac = jnp.sum(hits) / hw
+    # new-KF decision: unique valid matches / HW (tracker.py:330-331).
+    # Sort-based unique count — a 147k scatter-max costs ~40ms on TPU, the
+    # sort a fraction of that.
+    sorted_idx = jnp.sort(jnp.where(valid_kf[:, 0], idx_f2k, hw))
+    firsts = jnp.concatenate(
+        [sorted_idx[:1] < hw, (sorted_idx[1:] != sorted_idx[:-1]) & (sorted_idx[1:] < hw)]
+    )
+    unique_frac = jnp.sum(firsts.astype(jnp.float32)) / hw
     new_kf = (unique_frac < cfg.match_frac_thresh) & accept
 
-    store = jax.lax.cond(
-        new_kf, lambda s: frame_mod.kf_append(s, frame), lambda s: s, store
-    )
+    store = frame_mod.kf_append(store, frame, enable=new_kf)
 
     return store, frame, TrackResult(
         match_frac=match_frac,

@@ -158,3 +158,48 @@ def run_visualization(slam, out_dir: str, interval_s: float = 2.0,
     t.stop_event = stop  # type: ignore[attr-defined]
     t.start()
     return t
+
+
+def visualize_matches(matches_a, matches_b, img_a, img_b, out_path: str,
+                      max_draw: int = 200) -> str:
+    """Side-by-side match visualization (visualization_utils.py:138-190):
+    the two frames concatenated horizontally with correspondence lines.
+
+    matches_a/matches_b: (N, 2) [u, v] pixel coords; img_*: (H, W, 3) in
+    [0, 1] or uint8.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    a = np.asarray(img_a)
+    b = np.asarray(img_b)
+    if a.dtype != np.uint8:
+        a = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+    if b.dtype != np.uint8:
+        b = (np.clip(b, 0, 1) * 255).astype(np.uint8)
+    h = max(a.shape[0], b.shape[0])
+    canvas = np.zeros((h, a.shape[1] + b.shape[1], 3), np.uint8)
+    canvas[: a.shape[0], : a.shape[1]] = a
+    canvas[: b.shape[0], a.shape[1]:] = b
+
+    ma = np.asarray(matches_a)
+    mb = np.asarray(matches_b)
+    n = len(ma)
+    if n > max_draw:
+        sel = np.random.default_rng(0).choice(n, max_draw, replace=False)
+        ma, mb = ma[sel], mb[sel]
+
+    fig, ax = plt.subplots(figsize=(12, 5))
+    ax.imshow(canvas)
+    off = a.shape[1]
+    for (ua, va), (ub, vb) in zip(ma, mb):
+        ax.plot([ua, ub + off], [va, vb], "-", lw=0.5, alpha=0.6)
+    ax.scatter(ma[:, 0], ma[:, 1], s=2, c="lime")
+    ax.scatter(mb[:, 0] + off, mb[:, 1], s=2, c="cyan")
+    ax.axis("off")
+    pathlib.Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

@@ -126,3 +126,36 @@ def test_ba_odometry_constrains_translation():
     rel = lie.sim3_rel(T_opt[0], T_opt[1])
     np.testing.assert_allclose(np.asarray(rel[:3]), np.asarray(t_meas), atol=1e-3)
     np.testing.assert_allclose(np.asarray(rel[3:7]), np.asarray(q_meas), atol=1e-3)
+
+
+def test_local_factor_graph_window():
+    """LocalFactorGraph: replace-on-duplicate and window eviction
+    (local_mapping.py:28-32, 95-104)."""
+    import jax
+
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.local_mapping import LocalFactorGraph
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    cfg = BAConfig(max_iters=1, pin=1)
+    hw = 8
+    g = LocalFactorGraph(params, mcfg, cfg, (), (4, 2), max_edges=8, window_size=3)
+    # insert pairs directly (bypassing the decoder)
+    payload = (
+        jnp.zeros(hw, jnp.int32), jnp.zeros(hw, jnp.int32),
+        jnp.ones(hw, bool), jnp.ones(hw, bool),
+        jnp.ones(hw), jnp.ones(hw),
+    )
+    g.hw = hw
+    g.edges = empty_edges(16, hw)
+    g._insert_pair(0, 1, *payload)
+    g._insert_pair(1, 2, *payload)
+    g._insert_pair(0, 1, *payload)  # duplicate replaces
+    assert g._pairs == [(1, 2), (0, 1)]
+    g._insert_pair(2, 3, *payload)
+    g.remove_factors_i(0)
+    assert g._pairs == [(1, 2), (2, 3)]
+    assert bool(g.edges.active[:4].all())
+    g.enforce_window(newest=5)  # window [3..5]: evicts everything touching <3
+    assert g._pairs == []
