@@ -86,8 +86,7 @@ def main():
     store = frame_mod.kf_append(store, f0)
 
     def one_frame(store, img, i, idx_init):
-        store, fr, res = full_step(params, store, img, 0, idx_init)
-        return store, res
+        return full_step(params, store, img, 0, idx_init)
 
     # warmup / compile (track_step donates the store: keep the returned one)
     store, res = one_frame(store, frames[1], 1, None)

@@ -56,11 +56,12 @@ def run(args) -> dict:
         single_thread=bool(cfg["single_thread"]),
     )
 
-    n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    from .data.prefetch import PrefetchLoader
+
+    loader = PrefetchLoader(dataset, slam.preprocess, depth=3, max_frames=args.max_frames)
     fps_t0, fps_count = time.time(), 0
-    for i in range(n):
-        timestamp, img = dataset[i]
-        slam.grab_rgb(img, timestamp=float(timestamp))
+    for timestamp, dev_img in loader:
+        slam.grab_rgb(dev_img, timestamp=float(timestamp))
         fps_count += 1
         if fps_count == 30:
             print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")

@@ -178,13 +178,20 @@ class SLAM:
 
     # -- frame path ----------------------------------------------------------
 
-    def _make_frame(self, img: np.ndarray, T_WC) -> frame_mod.Frame:
+    def preprocess(self, img: np.ndarray) -> np.ndarray:
+        """Host preprocessing: resize/normalize to the network input. Exposed
+        so a PrefetchLoader can run it (and the device upload) ahead of time."""
         h, w = self.img_hw
         if img.shape[:2] != (h, w):
-            img = resize_img(img, max(self.img_hw))["img"][0]
+            return resize_img(img, max(self.img_hw))["img"]
+        arr = (img.astype(np.float32) - 0.5) / 0.5 if img.max() <= 1.0 else img
+        return arr[None] if arr.ndim == 3 else arr
+
+    def _make_frame(self, img, T_WC) -> frame_mod.Frame:
+        if isinstance(img, jax.Array) and img.ndim == 4:
+            dev_img = img  # pre-uploaded by a PrefetchLoader
         else:
-            img = (img.astype(np.float32) - 0.5) / 0.5 if img.max() <= 1.0 else img
-        dev_img = jnp.asarray(img)[None] if img.ndim == 3 else jnp.asarray(img)
+            dev_img = jnp.asarray(self.preprocess(np.asarray(img)))
         feat, pos = self._encode(self.params, dev_img)
         return frame_mod.make_empty_frame(self.frame_count, dev_img, feat, pos, T_WC=T_WC)
 
@@ -222,7 +229,7 @@ class SLAM:
 
         with self._backend_lock:
             store = self.store
-            store, frame, res = track_step(
+            store, res = track_step(
                 self.params, self.model_cfg, self.tcfg, self.match_cfg, self.img_hw,
                 store, frame, self._idx_f2k, self.K,
             )

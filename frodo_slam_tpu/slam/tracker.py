@@ -61,12 +61,32 @@ class TrackingCfg(NamedTuple):
 
 
 class TrackResult(NamedTuple):
-    match_frac: jax.Array  # scalar f32 — for the host skip decision
-    ok: jax.Array  # bool: Cholesky finite (tracker.py:314-316 analogue)
-    new_kf: jax.Array  # bool: unique-match fraction below threshold
-    T_WCf: jax.Array  # (8,) tracked pose
-    T_CkCf: jax.Array  # (8,) relative pose
+    """Small per-frame result. ``flags`` packs the host-read scalars into ONE
+    array so a single tiny fetch serves the host control flow:
+    [match_frac, ok, new_kf, T_WCf(8), T_CkCf(8)]."""
+
+    flags: jax.Array  # (19,) f32
     idx_f2k: jax.Array  # (1, HW) for warm-starting the next frame's matcher
+
+    @property
+    def match_frac(self):
+        return self.flags[0]
+
+    @property
+    def ok(self):
+        return self.flags[1] > 0
+
+    @property
+    def new_kf(self):
+        return self.flags[2] > 0
+
+    @property
+    def T_WCf(self):
+        return self.flags[3:11]
+
+    @property
+    def T_CkCf(self):
+        return self.flags[11:19]
 
 
 # ---------------------------------------------------------------------------
@@ -198,8 +218,8 @@ def track_step(
 ):
     """One tracked frame (FrameTracker.track, tracker.py:161-368).
 
-    Returns (store', frame', TrackResult). The new-KF append happens inside
-    (lax.cond) so the host only reads back the small TrackResult scalars.
+    Returns (store', TrackResult). The new-KF append happens inside (masked
+    in-place writes) so the host only reads back the small TrackResult.
     """
     h, w = img_hw
     hw = h * w
@@ -311,11 +331,15 @@ def track_step(
 
     store = frame_mod.kf_append(store, frame, enable=new_kf)
 
-    return store, frame, TrackResult(
-        match_frac=match_frac,
-        ok=accept,
-        new_kf=new_kf,
-        T_WCf=T_WCf_final,
-        T_CkCf=T_CkCf,
-        idx_f2k=out.idx_f2k,
+    flags = jnp.concatenate(
+        [
+            jnp.stack([
+                match_frac,
+                accept.astype(jnp.float32),
+                new_kf.astype(jnp.float32),
+            ]),
+            T_WCf_final.astype(jnp.float32),
+            T_CkCf.astype(jnp.float32),
+        ]
     )
+    return store, TrackResult(flags=flags, idx_f2k=idx_f2k[None])

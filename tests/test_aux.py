@@ -163,3 +163,38 @@ def test_viz_export_and_render(tmp_path):
 
     png = SLAMViewer(conf_threshold=0.0).render(slam, str(tmp_path / "map.png"))
     assert (tmp_path / "map.png").stat().st_size > 1000
+
+
+def test_slam_checkpoint_roundtrip(tmp_path):
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.system import SLAM
+    from frodo_slam_tpu.utils.checkpoint import load_slam_state, save_slam_state
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    params["head2"] = params["head1"]
+    params["dec_blocks2"] = params["dec_blocks"]
+    cfg = make_config(tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                                "max_iters": 5},
+                      local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 1},
+                      tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8})
+
+    def build():
+        return SLAM(cfg, params, mcfg, (32, 64), retrieval_db=None, use_backend=True,
+                    use_reloc=False, single_thread=True)
+
+    slam = build()
+    img = np.random.default_rng(0).uniform(0, 1, (32, 64, 3)).astype(np.float32)
+    for i in range(3):
+        slam.grab_rgb(img, timestamp=float(i))
+    ckpt = save_slam_state(slam, str(tmp_path / "state.npz"))
+
+    slam2 = build()
+    load_slam_state(slam2, ckpt)
+    assert int(slam2.store.n_size) == int(slam.store.n_size)
+    np.testing.assert_array_equal(np.asarray(slam2.store.T_WC), np.asarray(slam.store.T_WC))
+    assert slam2.backend._pairs == slam.backend._pairs
+    # resumed instance keeps tracking
+    ok, pose, new_kf = slam2.grab_rgb(img, timestamp=3.0)
+    assert ok and np.all(np.isfinite(pose))
