@@ -44,6 +44,7 @@ def main():
         mcfg, (h, w), n_frames, capacity = mast3r.tiny_config(), (32, 64), 4, 8
     else:
         mcfg, (h, w), n_frames, capacity = mast3r.MASt3RConfig(), (288, 512), 30, 100
+    capacity = int(os.environ.get("FRODO_BENCH_CAPACITY", capacity))
 
     cfg = make_config()
     match_cfg = tuple(sorted(dict(cfg.matching).items()))
@@ -54,10 +55,11 @@ def main():
         match_frac_thresh=float(cfg.tracking.match_frac_thresh),
     )
 
-    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    params = mast3r.cast_transformer_params(
+        mast3r.init_params(jax.random.PRNGKey(0), mcfg), mcfg.dtype
+    )
     hw = h * w
-    n_tok = (h // 16) * (w // 16)
-    store = frame_mod.make_keyframe_store(capacity, hw, n_tok, mcfg.enc_embed_dim)
+    del capacity  # streaming design: no ring buffer in the per-frame program
 
     rng = np.random.default_rng(0)
     base = rng.uniform(-1, 1, (h + 8, w + 8, 3)).astype(np.float32)
@@ -70,36 +72,32 @@ def main():
     def encode(params, img):
         return mast3r.encode_image(params, mcfg, img)
 
-    @partial(jax.jit, donate_argnames=("store",), static_argnames=("i",))
-    def full_step(params, store, img, i, idx_init):
-        """encode + track in ONE dispatch per frame."""
+    @partial(jax.jit, static_argnames=())
+    def full_step(params, kf, img, idx_init):
+        """encode + track in ONE dispatch per frame (streaming active-KF)."""
         feat, pos = mast3r.encode_image(params, mcfg, img)
-        fr = frame_mod.make_empty_frame(i, img, feat, pos)
-        return track_step(params, mcfg, tcfg, match_cfg, (h, w), store, fr, idx_init)
+        fr = frame_mod.make_empty_frame(0, img, feat, pos)
+        return track_step(params, mcfg, tcfg, match_cfg, (h, w), kf, fr, idx_init)
 
     # init keyframe (mono decode)
     feat, pos = encode(params, frames[0])
     f0 = frame_mod.make_empty_frame(0, frames[0], feat, pos)
     X0, C0 = decode_mono(params, mcfg, feat, pos, (h, w))
     Xn, Cn, Nn, Un = frame_mod.update_pointmap(f0.X_canon, f0.C, f0.N, f0.N_updates, X0, C0)
-    f0 = dataclasses.replace(f0, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
-    store = frame_mod.kf_append(store, f0)
+    kf = dataclasses.replace(f0, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
 
-    def one_frame(store, img, i, idx_init):
-        return full_step(params, store, img, 0, idx_init)
-
-    # warmup / compile (track_step donates the store: keep the returned one)
-    store, res = one_frame(store, frames[1], 1, None)
+    # warmup / compile
+    kf, fused, res = full_step(params, kf, frames[1], None)
     _ = float(res.match_frac)
 
     # steady state: fully pipelined (flags fetched once at the end — on a
     # directly-attached TPU per-frame scalar fetches are ~free, but the
-    # remote tunnel used here charges seconds per early sync)
+    # remote tunnel used here charges seconds for any early sync)
     t0 = time.perf_counter()
     idx_init = res.idx_f2k
     last = None
     for i in range(2, n_frames):
-        store, res = one_frame(store, frames[i], i, idx_init)
+        kf, fused, res = full_step(params, kf, frames[i], idx_init)
         idx_init = res.idx_f2k
         last = res
     _ = float(last.match_frac)

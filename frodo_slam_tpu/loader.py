@@ -34,17 +34,19 @@ def load_mast3r(path: Optional[str] = None, cfg: Optional[mast3r.MASt3RConfig] =
     path = path or DEFAULT_CKPT
     npz = pathlib.Path(path).with_suffix(".npz")
     if npz.exists():
-        return convert.load_npz(str(npz), cfg), cfg
+        params = convert.load_npz(str(npz), cfg)
+        return mast3r.cast_transformer_params(params, cfg.dtype), cfg
     if pathlib.Path(path).exists():
         params = convert.load_torch_checkpoint(path, cfg)
-        return params, cfg
+        return mast3r.cast_transformer_params(params, cfg.dtype), cfg
     warnings.warn(
         f"checkpoint not found at {path}; using RANDOM weights — pointmaps "
         "will be meaningless (benchmark/smoke-test mode only)"
     )
     if os.environ.get("FRODO_ENTRY_TINY"):
         cfg = mast3r.tiny_config()
-    return mast3r.init_params(jax.random.PRNGKey(0), cfg), cfg
+    params = mast3r.init_params(jax.random.PRNGKey(0), cfg)
+    return mast3r.cast_transformer_params(params, cfg.dtype), cfg
 
 
 def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,

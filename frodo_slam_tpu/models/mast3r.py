@@ -98,6 +98,20 @@ def _stack_layers(layer_params: List[Params]) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
 
 
+def cast_transformer_params(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Cast the encoder/decoder weights to the compute dtype ONCE.
+
+    ``linear`` casts weights to the activation dtype per use; with f32 master
+    weights that re-streams ~2.6GB f32 + writes ~1.3GB bf16 EVERY frame.
+    Heads stay f32 (they compute in f32, dust3r/model.py:205-207); layernorm
+    params are upcast internally either way.
+    """
+    out = dict(params)
+    for k in ("patch_embed", "enc_blocks", "decoder_embed", "dec_blocks", "dec_blocks2"):
+        out[k] = jax.tree.map(lambda x: x.astype(dtype), params[k])
+    return out
+
+
 def init_params(rng, cfg: MASt3RConfig) -> Params:
     keys = jax.random.split(rng, 8)
     enc_blocks = _stack_layers(

@@ -151,22 +151,37 @@ def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q)
     )  # (HW, 4)
     w = huber(sqrt_w * err) * sqrt_w * sqrt_w  # (HW, 4)
 
-    # relative-pose Jacobian (HW, 4, 7): rows [dr/dP | -skew(rj) | 0] and
-    # [rj | 0 | |P|] (gn_kernels.cu:749-858)
+    # The relative-pose Jacobian factors exactly as Jrel = drd/dP . [I|-S|P]
+    # (gn_kernels.cu:749-858: the -skew(rj) rotation block equals
+    # dnorm @ -skew(P), and the dist row's rotation block vanishes since
+    # r x P = 0). Build the 7x7 Gram from per-point 3x3 blocks instead of
+    # materializing the (HW, 4, 7) Jacobian — same trick as the tracker GN.
     eye3 = jnp.eye(3, dtype=X.dtype)
     dnorm = nj_inv[:, None, None] * (eye3 - rj[:, :, None] * rj[:, None, :])  # (HW,3,3)
+    drd = jnp.concatenate([dnorm, rj[:, None, :]], axis=1)  # (HW, 4, 3)
+
+    Mb = jnp.einsum("kda,kd,kdb->kab", drd, w, drd)  # (HW, 3, 3)
+    q = jnp.einsum("kda,kd->ka", drd, w * err)  # (HW, 3)
+    Mp = jnp.einsum("kab,kb->ka", Mb, P)
+    MS = jnp.cross(Mb, P[:, None, :], axis=-1)  # (M S)_a: = M_a: x P
     from ..ops.lie import skew
 
-    Jrel_ray = jnp.concatenate(
-        [dnorm, -skew(rj), jnp.zeros_like(rj)[..., None]], axis=-1
-    )  # (HW, 3, 7)
-    Jrel_dist = jnp.concatenate(
-        [rj, jnp.zeros_like(rj), norm_j[:, None]], axis=-1
-    )[:, None, :]  # (HW, 1, 7)
-    Jrel = jnp.concatenate([Jrel_ray, Jrel_dist], axis=1)  # (HW, 4, 7)
+    SMS_sum = jnp.einsum("kac,kcb->ab", skew(P), MS)
 
-    B = jnp.einsum("kd,kdm,kdn->mn", w, Jrel, Jrel)  # (7,7)
-    g_rel = jnp.einsum("kd,kd,kdm->m", w, err, Jrel)  # (7,)
+    Btt = jnp.sum(Mb, axis=0)
+    BtP = -jnp.sum(MS, axis=0)
+    Bts = jnp.sum(Mp, axis=0)
+    BPP = -SMS_sum
+    BPs = jnp.sum(jnp.cross(P, Mp), axis=0)
+    Bss = jnp.sum(P * Mp)[None]
+    B = jnp.block([
+        [Btt, BtP, Bts[:, None]],
+        [BtP.T, BPP, BPs[:, None]],
+        [Bts[None, :], BPs[None, :], Bss[:, None]],
+    ])
+    g_rel = jnp.concatenate(
+        [jnp.sum(q, axis=0), jnp.sum(jnp.cross(P, q), axis=0), jnp.sum(P * q)[None]]
+    )
 
     M = _adj_inv_matrix(Ti)
     A = M.T @ B @ M

@@ -141,6 +141,7 @@ class SLAM:
         self.loss_track_counter = 0
         self.kf_timestamps: List[float] = []
         self.atlas: List[dict] = []  # finished maps (main.py:187-239)
+        self.active_kf: Optional[frame_mod.Frame] = None  # streaming KF state
         self.current_T_WC = np.asarray(lie.sim3_identity())
         self.last_odom_pose: Optional[np.ndarray] = None
         self._idx_f2k = None
@@ -170,6 +171,7 @@ class SLAM:
         self.kf_timestamps = []
         self._idx_f2k = None
         self.last_odom_pose = None
+        self.active_kf = None
 
     def terminate(self):
         self.mode = Mode.TERMINATED
@@ -202,6 +204,7 @@ class SLAM:
             frame.X_canon, frame.C, frame.N, frame.N_updates, X, C, self.tcfg.filtering_mode
         )
         frame = dataclasses.replace(frame, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
+        self.active_kf = frame
         self.store = frame_mod.kf_append(self.store, frame)
         self.kf_timestamps.append(timestamp)
         if self.retrieval is not None:
@@ -228,15 +231,30 @@ class SLAM:
             return True, self.current_T_WC, True
 
         with self._backend_lock:
-            store = self.store
-            store, res = track_step(
+            prev_kf = self.active_kf
+            kf_next, fused, res = track_step(
                 self.params, self.model_cfg, self.tcfg, self.match_cfg, self.img_hw,
-                store, frame, self._idx_f2k, self.K,
+                self.active_kf, frame, self._idx_f2k, self.K,
             )
-            self.store = store
+            self.active_kf = kf_next
         self._idx_f2k = res.idx_f2k
         ok = bool(res.ok)
         new_kf = bool(res.new_kf)
+        if new_kf:
+            with self._backend_lock:
+                # sync the outgoing keyframe's fused pointmap into the store
+                # (the reference writes it back every frame,
+                # tracker.py:325-328; here at keyframe rate, one frame of
+                # fusion behind — negligible for a many-frame average)
+                slot = self.store.last_slot()
+                self.store = dataclasses.replace(
+                    self.store,
+                    X_canon=self.store.X_canon.at[slot].set(prev_kf.X_canon),
+                    C=self.store.C.at[slot].set(prev_kf.C),
+                    N=self.store.N.at[slot].set(prev_kf.N),
+                    N_updates=self.store.N_updates.at[slot].set(prev_kf.N_updates),
+                )
+                self.store = frame_mod.kf_append(self.store, fused)
 
         if not ok:
             self._idx_f2k = None
@@ -314,6 +332,11 @@ class SLAM:
                         s_bar[k] = v
             self.store = self.backend.solve_GN_rays(self.store, s_bar)
             self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
+            # the backend moved the last keyframe's pose: refresh the
+            # streaming active-KF state (global_opt.py:285-286 analogue)
+            self.active_kf = dataclasses.replace(
+                self.active_kf, T_WC=self.store.T_WC[self.store.last_slot()]
+            )
 
     def _run_backend(self, idx: int, odom_factor):
         if self.single_thread:
@@ -364,6 +387,9 @@ class SLAM:
             )
             self.store = self.backend.solve_GN_rays(self.store)
             self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
+            self.active_kf = dataclasses.replace(
+                frame, T_WC=self.store.T_WC[self.store.last_slot()]
+            )
         return True
 
     # -- export -----------------------------------------------------------------

@@ -146,28 +146,91 @@ def _gn_loop(cfg: TrackingCfg, T_init, residual_fn):
     return T, ok
 
 
+def _gn_loop_fused(cfg: TrackingCfg, T_init, hg_fn):
+    """GN driver over a fused step ``hg_fn(T) -> (H (7,7), g (7,), cost)``."""
+
+    def cond(state):
+        T, old_cost, step, done, ok = state
+        return (step < cfg.max_iters) & (~done) & ok
+
+    def body(state):
+        T, old_cost, step, done, ok_all = state
+        H, g, new_cost = hg_fn(T)
+        L, ok = _safe_cholesky(H)
+        tau = jax.scipy.linalg.cho_solve((L, True), g)
+        tau = jnp.where(ok, tau, jnp.zeros_like(tau)).astype(T.dtype)
+        new_cost = new_cost.astype(old_cost.dtype)
+        T_new = lie.sim3_retr(T, tau)
+        rel = jnp.abs(new_cost - old_cost) / jnp.maximum(new_cost, 1e-12)
+        dn = jnp.linalg.norm(tau)
+        converged = (step > 0) & ((rel < cfg.rel_error) | (dn < cfg.delta_norm))
+        return (T_new, new_cost, step + 1, converged, ok_all & ok)
+
+    init = (T_init, jnp.asarray(jnp.inf, T_init.dtype), jnp.asarray(0), jnp.asarray(False), jnp.asarray(True))
+    T, _, _, _, ok = jax.lax.while_loop(cond, body, init)
+    return T, ok
+
+
 def opt_pose_ray_dist_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid):
     """Uncalibrated ray+distance GN (tracker.py:414-465).
 
     Xf: (HW, 3) frame points gathered at kf pixels; Xk: (HW, 3) kf points;
     Qk: (HW, 1); valid: (HW, 1) bool — folded into the weights instead of a
     gather.
+
+    The normal equations are built from the Jacobian's analytic STRUCTURE
+    (J = -drd/dP . [I | -skew(P) | P]): per-point 3x3 Gram blocks contract
+    straight into the 7x7 system without ever materializing the (HW, 4, 7)
+    Jacobian — the literal transcription streamed ~100MB per GN iteration.
     """
     sqrtQ = jnp.sqrt(Qk) * valid.astype(Qk.dtype)
     sqrt_info = jnp.concatenate(
         [jnp.repeat(sqrtQ / cfg.sigma_ray, 3, axis=-1), sqrtQ / cfg.sigma_dist], axis=-1
     )
+    info = sqrt_info * sqrt_info
     rd_k = point_to_ray_dist(Xk)
 
-    def residual(T_CkCf):
-        Xf_Ck, dX_dT = act_Sim3(T_CkCf, Xf, jacobian=True)
-        rd_f, drd_dX = point_to_ray_dist(Xf_Ck, jacobian=True)
-        r = rd_k - rd_f
-        J = -(drd_dX @ dX_dT)  # (HW, 4, 7)
-        return sqrt_info, r, J
+    def hg(T_CkCf):
+        pW = lie.sim3_act(T_CkCf, Xf)
+        d = jnp.linalg.norm(pW, axis=-1, keepdims=True)
+        r = pW / d
+        rd_f = jnp.concatenate([r, d], axis=-1)
+        err = rd_k - rd_f  # (n, 4)
+        w = info * huber(sqrt_info * err, cfg.huber_k)  # (n, 4)
+        cost = 0.5 * jnp.sum(w * err * err)
+
+        # drd/dP rows: (I - r r^T)/d  and  r^T (geometry.py:17-34)
+        eye3 = jnp.eye(3, dtype=pW.dtype)
+        dnorm = (eye3 - r[:, :, None] * r[:, None, :]) / d[:, :, None]
+        drd = jnp.concatenate([dnorm, r[:, None, :]], axis=1)  # (n, 4, 3)
+
+        M = jnp.einsum("nda,nd,ndb->nab", drd, w, drd)  # (n, 3, 3)
+        q = jnp.einsum("nda,nd->na", drd, w * err)  # (n, 3)
+        Mp = jnp.einsum("nab,nb->na", M, pW)
+        MS = jnp.cross(M, pW[:, None, :], axis=-1)  # rows M_a x p == (M S)_a:
+        SMS_sum = jnp.einsum("nac,ncb->ab", lie.skew(pW), MS)
+
+        Htt = jnp.sum(M, axis=0)
+        HtP = -jnp.sum(MS, axis=0)  # t-phi block
+        Hts = jnp.sum(Mp, axis=0)
+        HPP = -SMS_sum  # phi-phi: S^T M S = -S M S
+        HPs = jnp.sum(jnp.cross(pW, Mp), axis=0)  # S (M p) summed
+        Hss = jnp.sum(pW * Mp) [None]
+
+        g_t = jnp.sum(q, axis=0)
+        g_p = jnp.sum(jnp.cross(pW, q), axis=0)
+        g_s = jnp.sum(pW * q)[None]
+
+        H = jnp.block([
+            [Htt, HtP, Hts[:, None]],
+            [HtP.T, HPP, HPs[:, None]],
+            [Hts[None, :], HPs[None, :], Hss[:, None]],
+        ])
+        g = jnp.concatenate([g_t, g_p, g_s])
+        return H, g, cost
 
     T_CkCf0 = lie.sim3_rel(T_WCk, T_WCf)
-    T_CkCf, ok = _gn_loop(cfg, T_CkCf0, residual)
+    T_CkCf, ok = _gn_loop_fused(cfg, T_CkCf0, hg)
     T_WCf_new = lie.sim3_mul(T_WCk, T_CkCf)
     return T_WCf_new, T_CkCf, ok
 
@@ -203,7 +266,6 @@ def opt_pose_calib_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid, meas_
 @partial(
     jax.jit,
     static_argnames=("model_cfg", "cfg", "match_cfg", "img_hw"),
-    donate_argnames=("store",),  # in-place slot updates: no store copy per frame
 )
 def track_step(
     params,
@@ -211,20 +273,24 @@ def track_step(
     cfg: TrackingCfg,
     match_cfg,
     img_hw,
-    store: KeyframeStore,
+    kf: Frame,
     frame: Frame,
     idx_f2k_init: Optional[jax.Array],
     K: Optional[jax.Array] = None,
 ):
     """One tracked frame (FrameTracker.track, tracker.py:161-368).
 
-    Returns (store', TrackResult). The new-KF append happens inside (masked
-    in-place writes) so the host only reads back the small TrackResult.
+    Streaming design: the per-frame program touches ONLY O(one-frame) state —
+    the *active keyframe* (a Frame pytree, ~6MB) flows in, is pointmap-updated
+    and, on a new-KF decision, replaced by the fused frame ON DEVICE. The
+    keyframe history lives outside as host-indexed device buffers updated at
+    keyframe rate; nothing ring-buffer-sized crosses the jit boundary per
+    frame (that cost ~1s/frame of buffer traffic).
+
+    Returns (kf_next, fused_frame, TrackResult).
     """
     h, w = img_hw
     hw = h * w
-    kf_slot = store.last_slot()
-    kf = frame_mod.kf_get_frame(store, kf_slot)
 
     out = match_asymmetric(
         params, model_cfg, dict(match_cfg), frame.feat, frame.pos,
@@ -311,12 +377,19 @@ def track_step(
     T_WCf_final = jnp.where(accept, T_WCf_new, frame.T_WC)
     frame = dataclasses.replace(frame, T_WC=T_WCf_final)
 
-    # keyframe pointmap update: Xkk = T_CkCf . Xkf (tracker.py:325-328).
-    # Masked in-place write, NOT lax.cond — cond copies the whole store
-    # (donation doesn't alias through branches).
+    # keyframe pointmap update: Xkk = T_CkCf . Xkf (tracker.py:325-328),
+    # masked by acceptance (a where over the 6MB active-KF state, not a
+    # cond — cond branches copy).
     Xkk = lie.sim3_act(T_CkCf, out.Xkf)
-    store = frame_mod.kf_update_pointmap(
-        store, kf_slot, Xkk, out.Ckf, cfg.filtering_mode, enable=accept
+    Xu, Cu, Nu_, Uu = frame_mod.update_pointmap(
+        kf.X_canon, kf.C, kf.N, kf.N_updates, Xkk, out.Ckf, cfg.filtering_mode
+    )
+    kf_upd = dataclasses.replace(
+        kf,
+        X_canon=jnp.where(accept, Xu, kf.X_canon),
+        C=jnp.where(accept, Cu, kf.C),
+        N=jnp.where(accept, Nu_, kf.N),
+        N_updates=jnp.where(accept, Uu, kf.N_updates),
     )
 
     # new-KF decision: unique valid matches / HW (tracker.py:330-331).
@@ -329,7 +402,11 @@ def track_step(
     unique_frac = jnp.sum(firsts.astype(jnp.float32)) / hw
     new_kf = (unique_frac < cfg.match_frac_thresh) & accept
 
-    store = frame_mod.kf_append(store, frame, enable=new_kf)
+    # active keyframe for the next frame: the fused frame when it became a
+    # keyframe, else the updated current keyframe — selected on device
+    kf_next = jax.tree.map(
+        lambda new, old: jnp.where(new_kf, new, old), frame, kf_upd
+    )
 
     flags = jnp.concatenate(
         [
@@ -342,4 +419,4 @@ def track_step(
             T_CkCf.astype(jnp.float32),
         ]
     )
-    return store, TrackResult(flags=flags, idx_f2k=idx_f2k[None])
+    return kf_next, frame, TrackResult(flags=flags, idx_f2k=idx_f2k[None])

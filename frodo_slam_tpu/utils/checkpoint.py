@@ -90,3 +90,18 @@ def load_slam_state(slam, path: str) -> None:
     slam.backend._odom_pairs = [tuple(p) for p in meta["backend_odom_pairs"]]
     slam.backend._n_odom = meta["backend_n_odom"]
     slam._idx_f2k = None
+
+    # rebuild the streaming active-KF state from the last stored keyframe
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..slam import frame as frame_mod
+
+    if int(slam.store.n_size) > 0:
+        kf = frame_mod.kf_get_frame(slam.store, slam.store.last_slot())
+        h, w = slam.img_hw
+        # odom=None to match the pytree structure of frames from _make_frame
+        slam.active_kf = dataclasses.replace(
+            kf, img=jnp.zeros((1, h, w, 3), jnp.float32), odom=None
+        )
