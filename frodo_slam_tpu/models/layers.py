@@ -128,17 +128,39 @@ def attention_init(rng, dim: int) -> Params:
     return {"qkv": linear_init(r1, dim, 3 * dim), "proj": linear_init(r2, dim, dim)}
 
 
-def _sdpa(q, k, v):
-    """q,k,v: (B, heads, N, hd) -> (B, N, heads*hd). Fused attention on MXU."""
+def _sdpa(q, k, v, impl: str = "xla"):
+    """q,k,v: (B, heads, N, hd) -> (B, N, heads*hd). Fused attention on MXU.
+
+    ``impl='pallas'`` uses the Pallas TPU flash-attention kernel (the
+    replacement for the reference's flash-attn CUDA dependency,
+    croco/models/blocks.py:26-30) — useful for the backend's big 2N-pair
+    decode batches; the XLA path is equally good at B=1, 576 tokens.
+    """
     b, h, n, hd = q.shape
-    # jax.nn.dot_product_attention expects (B, N, heads, hd)
+    if impl == "pallas":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        blk = min(512, n)
+        while n % blk:
+            blk //= 2
+        bs = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+            block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
+        out = flash_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5, block_sizes=bs)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
     out = jax.nn.dot_product_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     )
     return out.reshape(b, n, h * hd)
 
 
-def attention(p: Params, x: jax.Array, xpos: jax.Array, num_heads: int, rope_base: float | None):
+def attention(p: Params, x: jax.Array, xpos: jax.Array, num_heads: int, rope_base: float | None,
+              attn_impl: str = "xla"):
     b, n, c = x.shape
     hd = c // num_heads
     qkv = linear(p["qkv"], x).reshape(b, n, 3, num_heads, hd)
@@ -146,7 +168,7 @@ def attention(p: Params, x: jax.Array, xpos: jax.Array, num_heads: int, rope_bas
     if rope_base is not None:
         q = apply_rope2d(q, xpos, rope_base)
         k = apply_rope2d(k, xpos, rope_base)
-    return linear(p["proj"], _sdpa(q, k, v))
+    return linear(p["proj"], _sdpa(q, k, v, attn_impl))
 
 
 def cross_attention_init(rng, dim: int) -> Params:
@@ -160,7 +182,8 @@ def cross_attention_init(rng, dim: int) -> Params:
 
 
 def cross_attention(
-    p: Params, query, key, value, qpos, kpos, num_heads: int, rope_base: float | None
+    p: Params, query, key, value, qpos, kpos, num_heads: int, rope_base: float | None,
+    attn_impl: str = "xla",
 ):
     b, nq, c = query.shape
     hd = c // num_heads
@@ -170,7 +193,7 @@ def cross_attention(
     if rope_base is not None:
         q = apply_rope2d(q, qpos, rope_base)
         k = apply_rope2d(k, kpos, rope_base)
-    return linear(p["proj"], _sdpa(q, k, v))
+    return linear(p["proj"], _sdpa(q, k, v, attn_impl))
 
 
 # ---------------------------------------------------------------------------
@@ -187,8 +210,9 @@ def block_init(rng, dim: int, mlp_ratio: float = 4.0) -> Params:
     }
 
 
-def block(p: Params, x, xpos, num_heads: int, rope_base: float | None):
-    x = x + attention(p["attn"], layernorm(p["norm1"], x), xpos, num_heads, rope_base)
+def block(p: Params, x, xpos, num_heads: int, rope_base: float | None,
+          attn_impl: str = "xla"):
+    x = x + attention(p["attn"], layernorm(p["norm1"], x), xpos, num_heads, rope_base, attn_impl)
     x = x + mlp(p["mlp"], layernorm(p["norm2"], x))
     return x
 
@@ -208,13 +232,15 @@ def decoder_block_init(rng, dim: int, mlp_ratio: float = 4.0, norm_mem: bool = T
     return p
 
 
-def decoder_block(p: Params, x, y, xpos, ypos, num_heads: int, rope_base: float | None):
+def decoder_block(p: Params, x, y, xpos, ypos, num_heads: int, rope_base: float | None,
+                  attn_impl: str = "xla"):
     """One decoder block; returns updated x (y passes through,
     blocks.py:224-231)."""
-    x = x + attention(p["attn"], layernorm(p["norm1"], x), xpos, num_heads, rope_base)
+    x = x + attention(p["attn"], layernorm(p["norm1"], x), xpos, num_heads, rope_base, attn_impl)
     y_ = layernorm(p["norm_y"], y) if "norm_y" in p else y
     x = x + cross_attention(
-        p["cross_attn"], layernorm(p["norm2"], x), y_, y_, xpos, ypos, num_heads, rope_base
+        p["cross_attn"], layernorm(p["norm2"], x), y_, y_, xpos, ypos, num_heads, rope_base,
+        attn_impl,
     )
     x = x + mlp(p["mlp"], layernorm(p["norm3"], x))
     return x

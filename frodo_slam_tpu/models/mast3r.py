@@ -64,6 +64,7 @@ class MASt3RConfig:
     dpt_feature_dim: int = 256
     dpt_layer_dims: Tuple[int, ...] = (96, 192, 384, 768)
     dtype: Any = jnp.bfloat16  # encoder/decoder compute dtype
+    attention_impl: str = "xla"  # "xla" | "pallas" (TPU flash-attention kernel)
 
     @property
     def hooks(self) -> Tuple[int, int, int, int]:
@@ -162,7 +163,8 @@ def encode_image(params: Params, cfg: MASt3RConfig, img: jax.Array):
     x, pos = patch_embed(params["patch_embed"], img.astype(cfg.dtype), cfg.patch_size)
 
     def step(carry, layer_p):
-        return block(layer_p, carry, pos, cfg.enc_num_heads, cfg.rope_base), None
+        return block(layer_p, carry, pos, cfg.enc_num_heads, cfg.rope_base,
+                     cfg.attention_impl), None
 
     x, _ = jax.lax.scan(step, x, params["enc_blocks"])
     x = layernorm(params["enc_norm"], x)
@@ -192,7 +194,9 @@ def decode(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2):
     )  # leaves (L, 2, ...)
 
     block_pair = jax.vmap(
-        lambda p, x, y, px, py: decoder_block(p, x, y, px, py, cfg.dec_num_heads, cfg.rope_base)
+        lambda p, x, y, px, py: decoder_block(
+            p, x, y, px, py, cfg.dec_num_heads, cfg.rope_base, cfg.attention_impl
+        )
     )
 
     def step(carry, layer_p):
