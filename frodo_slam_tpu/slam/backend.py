@@ -21,9 +21,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import geometry
 from . import frame as frame_mod
 from .frame import KeyframeStore
-from .global_opt import BAConfig, Edges, OdomEdges, empty_edges, empty_odom_edges, solve_gn_rays
+from .global_opt import (
+    BAConfig,
+    Edges,
+    OdomEdges,
+    empty_edges,
+    empty_odom_edges,
+    solve_gn_calib,
+    solve_gn_rays,
+)
 from .inference import match_symmetric
 
 
@@ -203,14 +212,15 @@ class BackendGraph:
         s = sorted({k for p in self._pairs for k in p})
         return s
 
-    def solve_GN_rays(self, store: KeyframeStore, s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
-        """Build the compacted pose window, run the jitted GN, write poses
-        back (global_opt.py:226-286)."""
+    def _build_window(self, store: KeyframeStore, s_bar: Optional[np.ndarray]):
+        """Compact the live keyframes + edges into padded window arrays
+        (global_opt.py:226-252 window construction). Returns None when there
+        is nothing to optimize."""
         oldest_alive = max(0, int(store.n_total) - store.capacity)
         self.remove_dead_edges(oldest_alive)
         uniq = self.unique_kf_idx()
         if len(uniq) <= self.cfg.pin:
-            return store
+            return None
 
         # pad window to a bucket size to bound recompiles
         p = len(uniq)
@@ -250,12 +260,35 @@ class BackendGraph:
         if s_bar is not None:
             vals = [float(s_bar[k]) if k < len(s_bar) else -1.0 for k in uniq] + [-1.0] * pad
             sb = jnp.asarray(vals, jnp.float32)
+        return uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb
 
-        T_new = solve_gn_rays(self.cfg, self.cfg.pin, T_win, X_win, C_win, edges_win, odom_win, sb)
-
-        # write back the free poses (global_opt.py:285-286)
+    def _write_back(self, store: KeyframeStore, uniq, p, T_new) -> KeyframeStore:
+        """Write back the free poses (global_opt.py:285-286)."""
         free = uniq[self.cfg.pin : p]
         if free:
             free_slots = jnp.asarray([k % store.capacity for k in free])
             store = frame_mod.kf_update_T_WCs(store, T_new[self.cfg.pin : p], free_slots)
         return store
+
+    def solve_GN_rays(self, store: KeyframeStore, s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
+        """Build the compacted pose window, run the jitted ray-alignment GN,
+        write poses back (global_opt.py:226-286)."""
+        win = self._build_window(store, s_bar)
+        if win is None:
+            return store
+        uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb = win
+        T_new = solve_gn_rays(self.cfg, self.cfg.pin, T_win, X_win, C_win, edges_win, odom_win, sb)
+        return self._write_back(store, uniq, p, T_new)
+
+    def solve_GN_calib(self, store: KeyframeStore, K: jnp.ndarray,
+                       s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
+        """Calibrated pixel/log-depth global GN (global_opt.py:288-341):
+        points are constrained to their pixel rays first (:298-300)."""
+        win = self._build_window(store, s_bar)
+        if win is None:
+            return store
+        uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb = win
+        X_win = geometry.constrain_points_to_ray(self.img_hw, X_win, K)
+        T_new = solve_gn_calib(self.cfg, self.cfg.pin, self.img_hw, T_win,
+                               X_win, C_win, jnp.asarray(K), edges_win, odom_win, sb)
+        return self._write_back(store, uniq, p, T_new)

@@ -64,6 +64,7 @@ class BAConfig(NamedTuple):
     sigma_scale_prior: float = 0.1
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
+    sigma_point: float = 0.05  # point-alignment (config/base.yaml:33,54)
 
 
 class Edges(NamedTuple):
@@ -122,51 +123,25 @@ def _adj_inv_matrix(T: jax.Array) -> jax.Array:
     return jax.vmap(lambda e: lie.sim3_apply_adj_inv(T, e))(eye)
 
 
-def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q):
-    """One directed edge -> (A (7,7), gj (7,)) with H = [[A,-A],[-A,A]],
-    g = (-gj, gj). Mirrors ray_align_kernel (gn_kernels.cu:576-907)."""
-    Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
-    Tij = lie.sim3_rel(Ti, Tj)
+def _reduce_rel_system(drd, w, err, P, Ti):
+    """Reduce one directed edge's weighted normal equations over its points.
 
-    Xi = X[edge_ii][idx]  # (HW, 3) matched measurement points in frame i
-    Ci = C[edge_ii][idx, 0]
-    Xj = X[edge_jj]  # (HW, 3)
-    Cj = C[edge_jj][:, 0]
+    Every backend residual (ray, calib-projection, point-alignment) has a
+    relative-pose Jacobian that factors as ``Jrel = D . [I | -skew(P) | P]``
+    where ``D = d(residual)/dP`` (gn_kernels.cu:749-858, :2486-2560,
+    :2082-2160 all follow this pattern row by row). Build the 7x7 Gram
+    ``B = Jrel^T W Jrel`` from per-point DxD blocks instead of materializing
+    the (HW, R, 7) Jacobian, then push through AdjInv(T_i).
 
-    norm_i = jnp.linalg.norm(Xi, axis=-1)
-    ri = Xi / norm_i[:, None]
-
-    P = lie.sim3_act(Tij, Xj)  # Xj in frame i
-    norm_j = jnp.linalg.norm(P, axis=-1)
-    nj_inv = 1.0 / norm_j
-    rj = P * nj_inv[:, None]
-
-    err = jnp.concatenate([rj - ri, (norm_j - norm_i)[:, None]], axis=-1)  # (HW,4)
-
-    ok = valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
-    okf = ok.astype(X.dtype)
-    sqrt_w = jnp.stack(
-        [okf * jnp.sqrt(Q) / cfg.sigma_ray] * 3 + [okf * jnp.sqrt(Q) / cfg.sigma_dist],
-        axis=-1,
-    )  # (HW, 4)
-    w = huber(sqrt_w * err) * sqrt_w * sqrt_w  # (HW, 4)
-
-    # The relative-pose Jacobian factors exactly as Jrel = drd/dP . [I|-S|P]
-    # (gn_kernels.cu:749-858: the -skew(rj) rotation block equals
-    # dnorm @ -skew(P), and the dist row's rotation block vanishes since
-    # r x P = 0). Build the 7x7 Gram from per-point 3x3 blocks instead of
-    # materializing the (HW, 4, 7) Jacobian — same trick as the tracker GN.
-    eye3 = jnp.eye(3, dtype=X.dtype)
-    dnorm = nj_inv[:, None, None] * (eye3 - rj[:, :, None] * rj[:, None, :])  # (HW,3,3)
-    drd = jnp.concatenate([dnorm, rj[:, None, :]], axis=1)  # (HW, 4, 3)
-
+    Args: drd (HW, R, 3) = D rows, w (HW, R) robust weights, err (HW, R),
+    P (HW, 3) transformed points, Ti (8,) pose i. Returns (A, gj) with
+    H = [[A, -A], [-A, A]], g = (-gj, gj) since Ji = -Jj.
+    """
     Mb = jnp.einsum("kda,kd,kdb->kab", drd, w, drd)  # (HW, 3, 3)
     q = jnp.einsum("kda,kd->ka", drd, w * err)  # (HW, 3)
     Mp = jnp.einsum("kab,kb->ka", Mb, P)
     MS = jnp.cross(Mb, P[:, None, :], axis=-1)  # (M S)_a: = M_a: x P
-    from ..ops.lie import skew
-
-    SMS_sum = jnp.einsum("kac,kcb->ab", skew(P), MS)
+    SMS_sum = jnp.einsum("kac,kcb->ab", lie.skew(P), MS)
 
     Btt = jnp.sum(Mb, axis=0)
     BtP = -jnp.sum(MS, axis=0)
@@ -187,6 +162,108 @@ def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q)
     A = M.T @ B @ M
     gj = M.T @ g_rel
     return A, gj
+
+
+def _edge_points(X, C, T_WC, edge_ii, edge_jj, idx):
+    """Gather the matched point pair of one directed edge and transform
+    frame j's points into frame i (common prologue of all edge kernels)."""
+    Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
+    Tij = lie.sim3_rel(Ti, Tj)
+    Xi = X[edge_ii][idx]  # (HW, 3) matched measurement points in frame i
+    Ci = C[edge_ii][idx, 0]
+    Xj = X[edge_jj]  # (HW, 3)
+    Cj = C[edge_jj][:, 0]
+    P = lie.sim3_act(Tij, Xj)  # Xj in frame i
+    return Ti, Xi, Ci, Cj, P
+
+
+def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q):
+    """One directed edge -> (A (7,7), gj (7,)) with H = [[A,-A],[-A,A]],
+    g = (-gj, gj). Mirrors ray_align_kernel (gn_kernels.cu:576-907)."""
+    Ti, Xi, Ci, Cj, P = _edge_points(X, C, T_WC, edge_ii, edge_jj, idx)
+
+    norm_i = jnp.linalg.norm(Xi, axis=-1)
+    ri = Xi / norm_i[:, None]
+    norm_j = jnp.linalg.norm(P, axis=-1)
+    nj_inv = 1.0 / norm_j
+    rj = P * nj_inv[:, None]
+
+    err = jnp.concatenate([rj - ri, (norm_j - norm_i)[:, None]], axis=-1)  # (HW,4)
+
+    ok = valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
+    okf = ok.astype(X.dtype)
+    sqrt_w = jnp.stack(
+        [okf * jnp.sqrt(Q) / cfg.sigma_ray] * 3 + [okf * jnp.sqrt(Q) / cfg.sigma_dist],
+        axis=-1,
+    )  # (HW, 4)
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w  # (HW, 4)
+
+    # D rows: dray/dP (the projector onto the ray's orthogonal complement)
+    # and ddist/dP = rj. The -skew(rj) rotation block of gn_kernels.cu:749-858
+    # equals dnorm @ -skew(P), and the dist row's rotation block vanishes
+    # since rj x P = 0 — both fall out of the generic reduction.
+    eye3 = jnp.eye(3, dtype=X.dtype)
+    dnorm = nj_inv[:, None, None] * (eye3 - rj[:, :, None] * rj[:, None, :])  # (HW,3,3)
+    drd = jnp.concatenate([dnorm, rj[:, None, :]], axis=1)  # (HW, 4, 3)
+    return _reduce_rel_system(drd, w, err, P, Ti)
+
+
+def _calib_edge_system(cfg: BAConfig, img_hw, X, C, K, T_WC, edge_ii, edge_jj,
+                       idx, valid, Q):
+    """Calibrated pixel + log-depth edge (calib_proj_kernel,
+    gn_kernels.cu:2295-2608): residual = [u - u_meas, v - v_meas,
+    log z_j - log z_i] with pinhole K; validity additionally requires both
+    depths > z_eps and the projection within the pixel border."""
+    height, width = img_hw
+    Ti, Xi, Ci, Cj, P = _edge_points(X, C, T_WC, edge_ii, edge_jj, idx)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    valid_z = (P[:, 2] > cfg.depth_eps) & (Xi[:, 2] > cfg.depth_eps)
+    z_inv = jnp.where(valid_z, 1.0 / jnp.where(valid_z, P[:, 2], 1.0), 0.0)
+    x_div_z = P[:, 0] * z_inv
+    y_div_z = P[:, 1] * z_inv
+    u = fx * x_div_z + cx
+    v = fy * y_div_z + cy
+    # measurement pixel of the matched point in frame i (gn_kernels.cu:2424-2426)
+    u_t = (idx % width).astype(X.dtype)
+    v_t = (idx // width).astype(X.dtype)
+    valid_u = (u > cfg.pixel_border) & (u < width - 1 - cfg.pixel_border)
+    valid_v = (v > cfg.pixel_border) & (v < height - 1 - cfg.pixel_border)
+
+    zj_log = jnp.where(valid_z, jnp.log(jnp.where(valid_z, P[:, 2], 1.0)), 0.0)
+    zi_log = jnp.where(valid_z, jnp.log(jnp.maximum(Xi[:, 2], cfg.depth_eps)), 0.0)
+    err = jnp.stack([u - u_t, v - v_t, zj_log - zi_log], axis=-1)  # (HW, 3)
+
+    ok = (valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
+          & valid_u & valid_v & valid_z)
+    okf = ok.astype(X.dtype)
+    sw_pix = okf * jnp.sqrt(Q) / cfg.sigma_pixel
+    sw_dep = okf * jnp.sqrt(Q) / cfg.sigma_depth
+    sqrt_w = jnp.stack([sw_pix, sw_pix, sw_dep], axis=-1)
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w
+
+    # D = dproj/dP: pinhole rows + log-depth row (gn_kernels.cu:2486-2545;
+    # the rotation/scale columns there are exactly D @ [-skew(P) | P])
+    zeros = jnp.zeros_like(z_inv)
+    drd = jnp.stack([
+        jnp.stack([fx * z_inv, zeros, -fx * x_div_z * z_inv], axis=-1),
+        jnp.stack([zeros, fy * z_inv, -fy * y_div_z * z_inv], axis=-1),
+        jnp.stack([zeros, zeros, z_inv], axis=-1),
+    ], axis=1)  # (HW, 3, 3)
+    return _reduce_rel_system(drd, w, err, P, Ti)
+
+
+def _point_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q):
+    """3-D point-alignment edge (point_align_kernel, gn_kernels.cu:1936-2204):
+    residual = Sim3(T_ij) Xj - Xi, D = I."""
+    Ti, Xi, Ci, Cj, P = _edge_points(X, C, T_WC, edge_ii, edge_jj, idx)
+    err = P - Xi  # (HW, 3)
+    ok = valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
+    sw = ok.astype(X.dtype) * jnp.sqrt(Q) / cfg.sigma_point
+    sqrt_w = jnp.broadcast_to(sw[:, None], err.shape)
+    w = huber(sqrt_w * err) * sqrt_w * sqrt_w
+    drd = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (*err.shape, 3))
+    return _reduce_rel_system(drd, w, err, P, Ti)
 
 
 # NOTE on _adj_inv_matrix orientation: with M[n] = sim3_apply_adj_inv(Ti, e_n)
@@ -268,21 +345,14 @@ def _scatter_block(H, g, blocks, gvecs, ii_opt, jj_opt, p_opt):
     return H, g
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_fix"))
-def solve_gn_rays(
-    cfg: BAConfig,
-    num_fix: int,
-    T_WC: jax.Array,  # (P, 8) window poses
-    X: jax.Array,  # (P, HW, 3)
-    C: jax.Array,  # (P, HW, 1)
-    edges: Edges,
-    odom: OdomEdges,
-    s_bar: jax.Array,  # (P,) scale-prior targets, <=0 disables (global_opt.py:212-224)
-):
-    """Global ray-alignment GN with odometry factors and scale priors.
+def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
+              s_bar, edge_system):
+    """Shared outer GN driver (gauss_newton_rays_odom_cuda,
+    gn_kernels.cu:1792-1934): per iteration, reduce all edge systems, scatter
+    into the dense (7P x 7P) normal equations, add odometry + scale-prior
+    blocks, Cholesky-solve on device, retract, stop on small step.
 
-    One jitted program reproducing gauss_newton_rays_odom_cuda
-    (gn_kernels.cu:1792-1934). Returns updated (P, 8) poses.
+    ``edge_system(T_WC_in, e)`` -> (A (7,7), gj (7,)) for directed edge e.
     """
     p = T_WC.shape[0]
     p_opt = p - num_fix
@@ -290,11 +360,7 @@ def solve_gn_rays(
     def iteration(T_WC_in):
         # visual edges
         def one_edge(e):
-            A, gj = _ray_edge_system(
-                cfg, X, C, T_WC_in, edges.ii[e], edges.jj[e], edges.idx[e],
-                edges.valid[e] & edges.active[e], edges.Q[e],
-            )
-            return A, gj
+            return edge_system(T_WC_in, e)
 
         A_all, gj_all = jax.lax.map(one_edge, jnp.arange(edges.ii.shape[0]))
         amask = edges.active.astype(A_all.dtype)[:, None, None]
@@ -379,3 +445,80 @@ def solve_gn_rays(
         cond, body, (T_WC, jnp.asarray(0), jnp.asarray(jnp.inf, jnp.float32))
     )
     return T_final
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fix"))
+def solve_gn_rays(
+    cfg: BAConfig,
+    num_fix: int,
+    T_WC: jax.Array,  # (P, 8) window poses
+    X: jax.Array,  # (P, HW, 3)
+    C: jax.Array,  # (P, HW, 1)
+    edges: Edges,
+    odom: OdomEdges,
+    s_bar: jax.Array,  # (P,) scale-prior targets, <=0 disables (global_opt.py:212-224)
+):
+    """Global ray-alignment GN with odometry factors and scale priors.
+
+    One jitted program reproducing gauss_newton_rays_odom_cuda
+    (gn_kernels.cu:1792-1934). Returns updated (P, 8) poses.
+    """
+
+    def edge_system(T_WC_in, e):
+        return _ray_edge_system(
+            cfg, X, C, T_WC_in, edges.ii[e], edges.jj[e], edges.idx[e],
+            edges.valid[e] & edges.active[e], edges.Q[e],
+        )
+
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_system)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fix", "img_hw"))
+def solve_gn_calib(
+    cfg: BAConfig,
+    num_fix: int,
+    img_hw: tuple,
+    T_WC: jax.Array,  # (P, 8)
+    X: jax.Array,  # (P, HW, 3) — already ray-constrained (global_opt.py:298-300)
+    C: jax.Array,  # (P, HW, 1)
+    K: jax.Array,  # (3, 3)
+    edges: Edges,
+    odom: OdomEdges,
+    s_bar: jax.Array,
+):
+    """Calibrated pixel + log-depth global GN (gauss_newton_calib_cuda,
+    gn_kernels.cu:2610-2702; driver global_opt.py:288-341). The reference's
+    calib path carries no odometry/scale-prior factors — pass empty/inactive
+    rows for parity, but they are supported (a VIO-with-calib extension)."""
+
+    def edge_system(T_WC_in, e):
+        return _calib_edge_system(
+            cfg, img_hw, X, C, K, T_WC_in, edges.ii[e], edges.jj[e],
+            edges.idx[e], edges.valid[e] & edges.active[e], edges.Q[e],
+        )
+
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_system)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fix"))
+def solve_gn_points(
+    cfg: BAConfig,
+    num_fix: int,
+    T_WC: jax.Array,
+    X: jax.Array,
+    C: jax.Array,
+    edges: Edges,
+    odom: OdomEdges,
+    s_bar: jax.Array,
+):
+    """3-D point-alignment global GN (gauss_newton_points_cuda,
+    gn_kernels.cu:2206-2293; exported at gn.cpp:152-160, driven by the
+    disabled local mapper local_mapping.py:190-206)."""
+
+    def edge_system(T_WC_in, e):
+        return _point_edge_system(
+            cfg, X, C, T_WC_in, edges.ii[e], edges.jj[e], edges.idx[e],
+            edges.valid[e] & edges.active[e], edges.Q[e],
+        )
+
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_system)

@@ -300,6 +300,13 @@ class SLAM:
 
     # -- backend ---------------------------------------------------------------
 
+    def _solve_backend(self, s_bar=None):
+        """Dispatch the global solve: calibrated pixel/log-depth GN when a
+        calibration is in use, ray-alignment GN otherwise (vio.py:154-157)."""
+        if self.tcfg.use_calib and self.K is not None:
+            return self.backend.solve_GN_calib(self.store, self.K, s_bar)
+        return self.backend.solve_GN_rays(self.store, s_bar)
+
     def _backend_step(self, idx: int, odom_factor):
         """One backend task (run_backend loop body, vio.py:109-157)."""
         with self._backend_lock:
@@ -330,7 +337,7 @@ class SLAM:
                     s_bar = np.full(max(uniq) + 1, -1.0, np.float32)
                     for k, v in zip(uniq, sb):
                         s_bar[k] = v
-            self.store = self.backend.solve_GN_rays(self.store, s_bar)
+            self.store = self._solve_backend(s_bar)
             self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
             # the backend moved the last keyframe's pose: refresh the
             # streaming active-KF state (global_opt.py:285-286 analogue)
@@ -385,7 +392,7 @@ class SLAM:
                 self.store, self.store.T_WC[seed_slot][None],
                 jnp.asarray([(n_kf - 1) % self.store.capacity]),
             )
-            self.store = self.backend.solve_GN_rays(self.store)
+            self.store = self._solve_backend()
             self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
             self.active_kf = dataclasses.replace(
                 frame, T_WC=self.store.T_WC[self.store.last_slot()]

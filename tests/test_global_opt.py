@@ -8,13 +8,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from frodo_slam_tpu.ops import lie
+from frodo_slam_tpu.ops import geometry, lie
 from frodo_slam_tpu.slam.global_opt import (
     BAConfig,
     Edges,
     OdomEdges,
     empty_edges,
     empty_odom_edges,
+    solve_gn_calib,
+    solve_gn_points,
     solve_gn_rays,
 )
 
@@ -126,6 +128,92 @@ def test_ba_odometry_constrains_translation():
     rel = lie.sim3_rel(T_opt[0], T_opt[1])
     np.testing.assert_allclose(np.asarray(rel[:3]), np.asarray(t_meas), atol=1e-3)
     np.testing.assert_allclose(np.asarray(rel[3:7]), np.asarray(q_meas), atol=1e-3)
+
+
+def test_ba_points_recovers_poses():
+    """Point-alignment GN (gauss_newton_points_cuda, gn_kernels.cu:2206-2293)
+    must also pull perturbed poses back to truth on the same world."""
+    n_kf, hw = 4, 512
+    T_true, X = _make_world(jax.random.PRNGKey(2), n_kf, hw)
+    C = jnp.full((n_kf, hw, 1), 5.0)
+    key = jax.random.PRNGKey(3)
+    noise = jax.random.normal(key, (n_kf, 7)) * jnp.array([0.05] * 3 + [0.02] * 3 + [0.01])
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(lie.sim3_retr)(T_true, noise)
+
+    edges = _consecutive_edges(n_kf, hw)
+    odom = empty_odom_edges(1)
+    cfg = BAConfig(max_iters=20, pin=1, delta_norm=1e-10, sigma_point=0.05)
+    s_bar = jnp.full((n_kf,), -1.0)
+
+    T_opt = solve_gn_points(cfg, 1, T_init.astype(jnp.float32), X.astype(jnp.float32),
+                            C.astype(jnp.float32), edges, odom, s_bar)
+    for k in range(1, n_kf):
+        rel_opt = lie.sim3_rel(T_opt[0], T_opt[k])
+        rel_true = lie.sim3_rel(T_true[0], T_true[k])
+        np.testing.assert_allclose(
+            np.asarray(rel_opt), np.asarray(rel_true), atol=2e-3, err_msg=f"kf {k}"
+        )
+
+
+def test_ba_calib_recovers_poses():
+    """Calibrated pixel/log-depth GN (gauss_newton_calib_cuda,
+    gn_kernels.cu:2610-2702). Frame 0's pointmap is pixel-consistent
+    (backprojected); frames k see the same points via the true relative pose,
+    so the residual vanishes exactly at ground truth for the one-way edges
+    (0 -> k) used here."""
+    h, w = 16, 32
+    hw = h * w
+    n_kf = 3
+    K = jnp.asarray([[20.0, 0, 16.0], [0, 22.0, 8.0], [0, 0, 1]], jnp.float32)
+
+    key = jax.random.PRNGKey(4)
+    z = jax.random.uniform(key, (hw, 1), minval=4.0, maxval=8.0)
+    uv = geometry.get_pixel_coords((h, w))
+    X0 = geometry.backproject(uv, z, K)  # (hw, 3), projects onto its own pixel
+
+    xis = (
+        jax.random.normal(jax.random.PRNGKey(5), (n_kf, 7))
+        * jnp.array([0.2, 0.2, 0.2, 0.05, 0.05, 0.05, 0.03])
+    ).at[0].set(0.0)
+    T_true = jax.vmap(lie.sim3_exp)(xis)
+    # X_k such that rel(T_0, T_k) X_k == X_0 (same world points)
+    X = jnp.stack(
+        [lie.sim3_act(lie.sim3_inv(lie.sim3_rel(T_true[0], T_true[k])), X0)
+         for k in range(n_kf)]
+    )
+    C = jnp.full((n_kf, hw, 1), 5.0)
+
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(6), (n_kf, 7))
+        * jnp.array([0.03] * 3 + [0.01] * 3 + [0.01])
+    ).at[0].set(0.0)
+    T_init = jax.vmap(lie.sim3_retr)(T_true, noise)
+
+    # one-way edges 0 -> k: frame 0 is the pixel-consistent measurement side
+    e = n_kf - 1
+    edges = Edges(
+        ii=jnp.zeros((e,), jnp.int32),
+        jj=jnp.arange(1, n_kf, dtype=jnp.int32),
+        idx=jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32), (e, hw)),
+        valid=jnp.ones((e, hw), bool),
+        Q=jnp.full((e, hw), 4.0),
+        active=jnp.ones((e,), bool),
+    )
+    odom = empty_odom_edges(1)
+    cfg = BAConfig(max_iters=30, pin=1, delta_norm=1e-12,
+                   sigma_pixel=1.0, sigma_depth=10.0)
+    s_bar = jnp.full((n_kf,), -1.0)
+
+    T_opt = solve_gn_calib(cfg, 1, (h, w), T_init.astype(jnp.float32),
+                           X.astype(jnp.float32), C.astype(jnp.float32), K,
+                           edges, odom, s_bar)
+    for k in range(1, n_kf):
+        rel_opt = lie.sim3_rel(T_opt[0], T_opt[k])
+        rel_true = lie.sim3_rel(T_true[0], T_true[k])
+        np.testing.assert_allclose(
+            np.asarray(rel_opt), np.asarray(rel_true), atol=5e-3, err_msg=f"kf {k}"
+        )
 
 
 def test_local_factor_graph_window():

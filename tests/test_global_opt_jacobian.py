@@ -57,3 +57,74 @@ def test_edge_jacobian_fd():
 
     np.testing.assert_allclose(np.asarray(Jj), J_j_fd, atol=1e-5)
     np.testing.assert_allclose(-J_j_fd, J_i_fd, atol=1e-5)
+
+
+def _fd_pose_jacobian(fn, n_res, eps=1e-5):
+    J = np.zeros((n_res, 7))
+    for n in range(7):
+        e = np.zeros(7)
+        e[n] = eps
+        J[:, n] = (
+            np.asarray(fn(jnp.asarray(e))) - np.asarray(fn(jnp.asarray(-e)))
+        ) / (2 * eps)
+    return J
+
+
+def _rel_jacobian(D, P, Ti):
+    """Generic Jrel = D @ [I | -skew(P) | P] pushed through AdjInv(T_i)
+    (the factoring _reduce_rel_system relies on)."""
+    Jrel = jnp.concatenate(
+        [D, -D @ lie.skew(P), (D @ P)[:, None]], axis=-1
+    )  # (R, 7)
+    return Jrel @ _adj_inv_matrix(Ti)
+
+
+def test_calib_edge_jacobian_fd():
+    """Pixel + log-depth rows (calib_proj_kernel, gn_kernels.cu:2486-2560)."""
+    Ti = lie.sim3_exp(jax.random.normal(jax.random.PRNGKey(5), (7,)) * 0.3)
+    Tj = lie.sim3_exp(jax.random.normal(jax.random.PRNGKey(6), (7,)) * 0.3)
+    Xj = jnp.array([0.4, -0.3, 5.0])
+    fx, fy, cx, cy = 20.0, 22.0, 16.0, 8.0
+    u_t, v_t, zi_log = 3.0, 7.0, jnp.log(4.5)
+
+    def err_gen(T_i, T_j):
+        P = lie.sim3_act(lie.sim3_rel(T_i, T_j), Xj)
+        u = fx * P[0] / P[2] + cx
+        v = fy * P[1] / P[2] + cy
+        return jnp.stack([u - u_t, v - v_t, jnp.log(P[2]) - zi_log])
+
+    J_j_fd = _fd_pose_jacobian(
+        lambda xi: err_gen(Ti, lie.sim3_mul(lie.sim3_exp(xi), Tj)), 3
+    )
+    J_i_fd = _fd_pose_jacobian(
+        lambda xi: err_gen(lie.sim3_mul(lie.sim3_exp(xi), Ti), Tj), 3
+    )
+
+    P = lie.sim3_act(lie.sim3_rel(Ti, Tj), Xj)
+    z_inv = 1.0 / P[2]
+    D = jnp.asarray([
+        [fx * z_inv, 0.0, -fx * P[0] * z_inv * z_inv],
+        [0.0, fy * z_inv, -fy * P[1] * z_inv * z_inv],
+        [0.0, 0.0, z_inv],
+    ])
+    Jj = _rel_jacobian(D, P, Ti)
+    np.testing.assert_allclose(np.asarray(Jj), J_j_fd, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(-J_j_fd, J_i_fd, atol=1e-4)
+
+
+def test_point_edge_jacobian_fd():
+    """3-D point rows (point_align_kernel, gn_kernels.cu:2082-2160)."""
+    Ti = lie.sim3_exp(jax.random.normal(jax.random.PRNGKey(7), (7,)) * 0.3)
+    Tj = lie.sim3_exp(jax.random.normal(jax.random.PRNGKey(8), (7,)) * 0.3)
+    Xj = jnp.array([0.4, -0.3, 5.0])
+    Xi = jnp.array([0.2, 0.1, 4.0])
+
+    def err_gen(T_i, T_j):
+        return lie.sim3_act(lie.sim3_rel(T_i, T_j), Xj) - Xi
+
+    J_j_fd = _fd_pose_jacobian(
+        lambda xi: err_gen(Ti, lie.sim3_mul(lie.sim3_exp(xi), Tj)), 3
+    )
+    P = lie.sim3_act(lie.sim3_rel(Ti, Tj), Xj)
+    Jj = _rel_jacobian(jnp.eye(3), P, Ti)
+    np.testing.assert_allclose(np.asarray(Jj), J_j_fd, atol=1e-5)
