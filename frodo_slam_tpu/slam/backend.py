@@ -154,7 +154,7 @@ class BackendGraph:
             jj=e.jj.at[r0].set(int(j)).at[r1].set(int(i)),
             idx=e.idx.at[r0].set(idx_i2j.astype(jnp.int32)).at[r1].set(idx_j2i.astype(jnp.int32)),
             valid=e.valid.at[r0].set(valid_j).at[r1].set(valid_i),
-            Q=e.Q.at[r0].set(Qj).at[r1].set(Qi),
+            Q=e.Q.at[r0].set(Qj.astype(e.Q.dtype)).at[r1].set(Qi.astype(e.Q.dtype)),
             active=e.active.at[r0].set(True).at[r1].set(True),
         )
 

@@ -104,7 +104,7 @@ def empty_edges(e_max: int, hw: int) -> Edges:
 
 
 def empty_odom_edges(o_max: int) -> OdomEdges:
-    ident = jnp.concatenate([jnp.zeros((6,)), jnp.ones((1,))])
+    ident = jnp.concatenate([jnp.zeros((6,), jnp.float32), jnp.ones((1,), jnp.float32)])
     return OdomEdges(
         ii=jnp.zeros((o_max,), jnp.int32),
         jj=jnp.zeros((o_max,), jnp.int32),
@@ -278,6 +278,7 @@ def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
     Returns (H_full (14,14), g_full (14,)) ordered (pose_i, pose_j).
     """
     Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
+    delta_T = delta_T.astype(T_WC.dtype)
     Ri = lie.quat_to_R(lie.sim3_q(Ti))
     Rj = lie.quat_to_R(lie.sim3_q(Tj))
     Rm = lie.quat_to_R(delta_T[3:7])
@@ -309,7 +310,7 @@ def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
     # Jacobian approx: J_j ~ Ad(T_j^-1) on [t, theta] + scale column
     # (gn_kernels.cu:1193-1237)
     tj_inv = -(Rj.T @ lie.sim3_t(Tj))
-    Jj = jnp.zeros((6, 7))
+    Jj = jnp.zeros((6, 7), dtype=T_WC.dtype)
     Jj = Jj.at[0:3, 0:3].set(Rj.T)
     Jj = Jj.at[0:3, 3:6].set(lie.skew(tj_inv) @ Rj.T)
     Jj = Jj.at[3:6, 3:6].set(Rj.T)
