@@ -304,23 +304,36 @@ def refine_matches_shift(
         bi = jnp.arange(b)[:, None]
         is_winner = ids_img[bi, vc, uc, 0] == qid
 
-        # per-pixel best offset over the level's window: shifted dots
-        lvl_score = jnp.full((b, h, w), neg_inf, jnp.float32)
-        lvl_du = jnp.zeros((b, h, w), jnp.int32)
-        lvl_dv = jnp.zeros((b, h, w), jnp.int32)
-        for i in range(n_side):
-            for j in range(n_side):
-                du, dv = i * d - rd, j * d - rd
-                shifted = jax.lax.dynamic_slice(
-                    D11p, (0, pad + dv, pad + du, 0), (b, h, w, f)
-                )
-                m = jax.lax.dynamic_slice(inside, (0, pad + dv, pad + du), (1, h, w))
-                sc = jnp.einsum("bhwf,bhwf->bhw", Q, shifted)
-                sc = jnp.where(m > 0, sc, neg_inf)
-                better = sc > lvl_score
-                lvl_score = jnp.where(better, sc, lvl_score)
-                lvl_du = jnp.where(better, du, lvl_du)
-                lvl_dv = jnp.where(better, dv, lvl_dv)
+        # per-pixel best offset over the level's window: shifted dots.
+        # fori_loop (dynamic_slice takes traced starts) instead of unrolling
+        # the (2r+1)^2 offsets — the offsets can't fuse with each other
+        # anyway, and unrolling made the HLO ~50x bigger per level (minutes
+        # of compile time for zero runtime win).
+        def offset_body(t, state, d=d, rd=rd):
+            lvl_score, lvl_du, lvl_dv = state
+            du = (t // n_side) * d - rd
+            dv = (t % n_side) * d - rd
+            shifted = jax.lax.dynamic_slice(
+                D11p, (0, pad + dv, pad + du, 0), (b, h, w, f)
+            )
+            m = jax.lax.dynamic_slice(inside, (0, pad + dv, pad + du), (1, h, w))
+            sc = jnp.einsum("bhwf,bhwf->bhw", Q, shifted)
+            sc = jnp.where(m > 0, sc, neg_inf)
+            better = sc > lvl_score
+            return (
+                jnp.where(better, sc, lvl_score),
+                jnp.where(better, du, lvl_du),
+                jnp.where(better, dv, lvl_dv),
+            )
+
+        lvl_score, lvl_du, lvl_dv = jax.lax.fori_loop(
+            0, n_side * n_side, offset_body,
+            (
+                jnp.full((b, h, w), neg_inf, jnp.float32),
+                jnp.zeros((b, h, w), jnp.int32),
+                jnp.zeros((b, h, w), jnp.int32),
+            ),
+        )
 
         # map the per-pixel result back to each query at its center
         sc_q = lvl_score[bi, vc, uc]
