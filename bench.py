@@ -86,8 +86,13 @@ def main():
     Xn, Cn, Nn, Un = frame_mod.update_pointmap(f0.X_canon, f0.C, f0.N, f0.N_updates, X0, C0)
     kf = dataclasses.replace(f0, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
 
-    # warmup / compile
+    # warmup / compile — BOTH program variants: the first frame runs with
+    # idx_init=None (a different static signature), every later frame with a
+    # warm-start index array. Without the second warmup the array variant
+    # compiles inside the timed loop and the bench reports compile time.
     kf, fused, res = full_step(params, kf, frames[1], None)
+    _ = float(res.match_frac)
+    kf, fused, res = full_step(params, kf, frames[1], res.idx_f2k)
     _ = float(res.match_frac)
 
     # steady state: fully pipelined (flags fetched once at the end — on a

@@ -97,14 +97,6 @@ def _bilinear_gather(img: jax.Array, u, v):
     )
 
 
-def _ray_cost(rays_img, u, v, target):
-    """Sampled-and-normalized ray error vs target (matching_kernels.cu:194-207)."""
-    r = _bilinear_gather(rays_img[..., :3], u, v)
-    r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
-    err = r - target
-    return err, jnp.sum(err * err, axis=-1)
-
-
 @partial(jax.jit, static_argnames=("max_iter",))
 def iter_proj(
     rays_with_grad_img: jax.Array,
@@ -133,9 +125,16 @@ def iter_proj(
     lam = jnp.full(u.shape, lambda_init, dtype=u.dtype)
     converged = jnp.zeros(u.shape, dtype=bool)
 
+    # ONE 9-channel bilinear gather per iteration: the accept-test sample at
+    # (u_new, v_new) IS the next iteration's opening sample when accepted,
+    # and on reject the carried sample at (u, v) is still current — so
+    # carrying the sample in the loop state halves the gather count while
+    # staying bit-identical to the reference kernel, which re-samples at the
+    # top of every iteration (matching_kernels.cu:151-207, 233-268).
+    samp0 = _bilinear_gather(rays_with_grad_img, u, v)
+
     def body(_, state):
-        u, v, lam, converged = state
-        samp = _bilinear_gather(rays_with_grad_img, u, v)
+        u, v, lam, converged, samp = state
         r = samp[..., 0:3]
         gx = samp[..., 3:6]
         gy = samp[..., 6:9]
@@ -156,17 +155,22 @@ def iter_proj(
         u_new = jnp.clip(u + du, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv, 1.0, h - 2.0)
 
-        _, new_cost = _ray_cost(rays_with_grad_img, u_new, v_new, pts3d_norm)
+        samp_new = _bilinear_gather(rays_with_grad_img, u_new, v_new)
+        r_new = samp_new[..., 0:3]
+        r_new = r_new / jnp.linalg.norm(r_new, axis=-1, keepdims=True)
+        err_new = r_new - pts3d_norm
+        new_cost = jnp.sum(err_new * err_new, axis=-1)
 
         accept = new_cost < cost
         u = jnp.where(accept, u_new, u)
         v = jnp.where(accept, v_new, v)
+        samp = jnp.where(accept[..., None], samp_new, samp)
         lam = jnp.where(accept, lam * 0.1, lam * 10.0)
         converged = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
-        return u, v, lam, converged
+        return u, v, lam, converged, samp
 
-    u, v, lam, converged = jax.lax.fori_loop(
-        0, max_iter, body, (u, v, lam, converged)
+    u, v, lam, converged, _ = jax.lax.fori_loop(
+        0, max_iter, body, (u, v, lam, converged, samp0)
     )
     return jnp.stack([u, v], axis=-1), converged
 
@@ -242,13 +246,14 @@ def refine_matches_gather(
     return jnp.stack([u_best, v_best], axis=-1), max_score
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "dtype"))
 def refine_matches_shift(
     D11: jax.Array,
     D21: jax.Array,
     p1: jax.Array,
     radius: int = 3,
     dilation_max: int = 5,
+    dtype=jnp.bfloat16,
 ):
     """Coarse-to-fine dilated descriptor search, scatter+shift formulation.
 
@@ -281,12 +286,20 @@ def refine_matches_shift(
     # window) via one direct gather — collision losers keep at least this
     flat = D11.reshape(b, hw, f)
     center_desc = jnp.take_along_axis(flat, (v0 * w + u0)[..., None], axis=1)
-    max_score = jnp.sum(center_desc * D21, axis=-1)
+    # seed in the compute dtype like the window probes so scores compare
+    max_score = jnp.einsum(
+        "bnf,bnf->bn",
+        center_desc.astype(dtype),
+        D21.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
     u_best, v_best = u0, v0
 
     pad = radius * dilation_max
     hp, wp = h + 2 * pad, w + 2 * pad
-    D11p = jnp.pad(D11, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # bf16 descriptor planes by default: the reference computes these dots in
+    # fp16 (matching_kernels.cu refine uses __half); halves the streamed bytes.
+    D11p = jnp.pad(D11, ((0, 0), (pad, pad), (pad, pad), (0, 0))).astype(dtype)
     inside = jnp.pad(jnp.ones((1, h, w), jnp.float32), ((0, 0), (pad, pad), (pad, pad)))
 
     def scatter_img(vals, u, v, fill, ch):
@@ -299,7 +312,7 @@ def refine_matches_shift(
 
     for d in range(dilation_max, 0, -1):
         rd = radius * d
-        Q, uc, vc = scatter_img(D21, u_best, v_best, 0.0, f)
+        Q, uc, vc = scatter_img(D21.astype(dtype), u_best, v_best, 0.0, f)
         ids_img, _, _ = scatter_img(qid[..., None], u_best, v_best, -1, 1)
         bi = jnp.arange(b)[:, None]
         is_winner = ids_img[bi, vc, uc, 0] == qid
@@ -317,7 +330,9 @@ def refine_matches_shift(
                 D11p, (0, pad + dv, pad + du, 0), (b, h, w, f)
             )
             m = jax.lax.dynamic_slice(inside, (0, pad + dv, pad + du), (1, h, w))
-            sc = jnp.einsum("bhwf,bhwf->bhw", Q, shifted)
+            sc = jnp.einsum(
+                "bhwf,bhwf->bhw", Q, shifted, preferred_element_type=jnp.float32
+            )
             sc = jnp.where(m > 0, sc, neg_inf)
             better = sc > lvl_score
             return (
@@ -333,6 +348,7 @@ def refine_matches_shift(
                 jnp.zeros((b, h, w), jnp.int32),
                 jnp.zeros((b, h, w), jnp.int32),
             ),
+            unroll=n_side,  # amortize loop-step overhead; full unroll blows up compile
         )
 
         # map the per-pixel result back to each query at its center

@@ -1,8 +1,16 @@
 """Stage-by-stage TPU timing of the tracking hot path.
 
 Times each jitted stage separately (encode / decode+heads / matcher pieces /
-GN / pointmap update) to find where the frame budget goes. Run on the TPU:
-``python scripts/profile_stages.py``.
+GN / pointmap update / full track_step) to find where the frame budget goes.
+Run on the TPU: ``python scripts/profile_stages.py``.
+
+Remote-tunnel-safe timing: the axon TPU is a remote tunnel where
+``block_until_ready`` does not synchronize execution and host fetches are
+expensive. Each stage is timed by chaining N dispatches and fetching ONE
+scalar (produced by a tiny jitted reduction) at the end; the measured
+scalar-fetch baseline is subtracted.
+
+x64 stays OFF to match bench.py (the tracking path is f32/bf16).
 """
 
 import os
@@ -14,27 +22,33 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
 
 from frodo_slam_tpu.models import mast3r
-from frodo_slam_tpu.ops import matching
-from frodo_slam_tpu.slam.tracker import TrackingCfg, opt_pose_ray_dist_sim3
-from frodo_slam_tpu.ops import lie
+from frodo_slam_tpu.ops import lie, matching
+from frodo_slam_tpu.slam import frame as frame_mod
+from frodo_slam_tpu.slam.tracker import TrackingCfg, opt_pose_ray_dist_sim3, track_step
+
+_first = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.float32))
 
 
-def timeit(name, fn, *args, n=10):
+def touch(out):
+    leaf = [l for l in jax.tree.leaves(out) if hasattr(l, "reshape")][0]
+    return float(jax.device_get(_first(leaf)))
+
+
+def timeit(name, fn, *args, n=10, fetch_base=0.0):
+    t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    touch(out)
+    t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:28s} {dt * 1e3:9.2f} ms")
+    touch(out)
+    dt = (time.perf_counter() - t0 - fetch_base) / n
+    print(f"{name:30s} {dt * 1e3:9.2f} ms   (first call {t_first:6.2f} s)", flush=True)
     return out
 
 
@@ -42,31 +56,51 @@ def main():
     h, w = 288, 512
     hw = h * w
     cfg = mast3r.MASt3RConfig()
-    params = mast3r.init_params(jax.random.PRNGKey(0), cfg)
+    params = mast3r.cast_transformer_params(
+        mast3r.init_params(jax.random.PRNGKey(0), cfg), cfg.dtype
+    )
     img = jnp.zeros((1, h, w, 3), jnp.float32)
 
+    # fetch baseline
+    tiny = jnp.zeros((4,), jnp.float32) + 1
+    touch(tiny)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        touch(tiny)
+    fetch_base = (time.perf_counter() - t0) / 10
+    print(f"{'scalar fetch baseline':30s} {fetch_base * 1e3:9.2f} ms", flush=True)
+
     encode = jax.jit(lambda p, x: mast3r.encode_image(p, cfg, x))
-    feat, pos = timeit("encode (ViT-L, 576 tok)", encode, params, img)
+    feat, pos = timeit("encode (ViT-L, 576 tok)", encode, params, img, fetch_base=fetch_base)
 
     decode = jax.jit(lambda p, f, po: mast3r.decode_and_heads(p, cfg, f, po, f, po, (h, w)))
-    res = timeit("decode+heads (self pair)", decode, params, feat, pos)
+    res = timeit("decode+heads (self pair)", decode, params, feat, pos, fetch_base=fetch_base)
     res1, res2 = res
     X11, X21 = res1["pts3d"], res2["pts3d"]
     D11, D21 = res1["desc"], res2["desc"]
 
-    prep = jax.jit(lambda a, b: matching.prep_for_iter_proj(a, b, None))
-    rays, tgt, p_init = timeit("prep_for_iter_proj", prep, X11, X21)
+    dec_only = jax.jit(lambda p, f, po: mast3r.decode_features(p, cfg, f, po, f, po)
+                       if hasattr(mast3r, "decode_features") else None)
+    try:
+        timeit("decoder only (no heads)", dec_only, params, feat, pos, fetch_base=fetch_base)
+    except Exception as e:
+        print(f"decoder-only probe skipped: {type(e).__name__}", flush=True)
 
-    rays_c, tgt_c, p_c = jax.block_until_ready((rays, tgt, p_init))
-    ip = lambda r, t, p: matching.iter_proj(r, t, p, max_iter=10, lambda_init=1e-8, cost_thresh=1e-6)
-    p1f, conv = timeit("iter_proj (10 LM iters)", ip, rays_c, tgt_c, p_c)
+    prep = jax.jit(lambda a, b: matching.prep_for_iter_proj(a, b, None))
+    rays, tgt, p_init = timeit("prep_for_iter_proj", prep, X11, X21, fetch_base=fetch_base)
+
+    ip = jax.jit(lambda r, t, p: matching.iter_proj(
+        r, t, p, max_iter=10, lambda_init=1e-8, cost_thresh=1e-6))
+    p1f, conv = timeit("iter_proj (10 LM iters)", ip, rays, tgt, p_init, fetch_base=fetch_base)
 
     p1 = jnp.floor(p1f).astype(jnp.int32)
-    rf = lambda d1, d2, p: matching.refine_matches(d1, d2, p, radius=3, dilation_max=5)
-    timeit("refine_matches (d5 r3)", rf, D11, D21.reshape(1, hw, -1), p1)
+    D21q = D21.reshape(1, hw, -1)
+    rf = jax.jit(lambda d1, d2, p: matching.refine_matches_shift(
+        d1, d2, p, radius=3, dilation_max=5))
+    timeit("refine_matches_shift (d5 r3)", rf, D11, D21q, p1, fetch_base=fetch_base)
 
     full_match = jax.jit(lambda a, b, c, d: matching.match(a, b, c, d))
-    timeit("full matcher", full_match, X11, X21, D11, D21)
+    timeit("full matcher", full_match, X11, X21, D11, D21, fetch_base=fetch_base)
 
     # GN on 147k points
     tcfg = TrackingCfg(max_iters=50)
@@ -76,7 +110,38 @@ def main():
     valid = jnp.ones((hw, 1), bool)
     gn = jax.jit(lambda xf, xk, q, v: opt_pose_ray_dist_sim3(
         tcfg, xf, xk, lie.sim3_identity(), lie.sim3_identity(), q, v))
-    timeit("GN ray-dist (<=50 iters)", gn, Xf, Xk, Qk, valid)
+    timeit("GN ray-dist (<=50 iters)", gn, Xf, Xk, Qk, valid, fetch_base=fetch_base)
+
+    upd = jax.jit(lambda X, C, N, U, Xn, Cn: frame_mod.update_pointmap(X, C, N, U, Xn, Cn))
+    C0 = jnp.ones((hw, 1), jnp.float32)
+    N0 = jnp.ones((hw, 1), jnp.float32)
+    timeit("update_pointmap", upd, X11[0].reshape(hw, 3), C0, N0, C0,
+           X21[0].reshape(hw, 3), C0, fetch_base=fetch_base)
+
+    # full track_step (the bench program)
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.slam.inference import decode_mono
+
+    sys_cfg = make_config()
+    match_cfg = tuple(sorted(dict(sys_cfg.matching).items()))
+    tcfg2 = TrackingCfg(
+        min_match_frac=0.0, max_iters=int(sys_cfg.tracking.max_iters),
+        Q_conf=0.0, match_frac_thresh=float(sys_cfg.tracking.match_frac_thresh),
+    )
+    X0, C0m = decode_mono(params, cfg, feat, pos, (h, w))
+    f0 = frame_mod.make_empty_frame(0, img, feat, pos)
+    import dataclasses
+    Xn, Cn, Nn, Un = frame_mod.update_pointmap(f0.X_canon, f0.C, f0.N, f0.N_updates, X0, C0m)
+    kf = dataclasses.replace(f0, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
+
+    def full_step(params, kf, img):
+        feat, pos = mast3r.encode_image(params, cfg, img)
+        fr = frame_mod.make_empty_frame(0, img, feat, pos)
+        return track_step(params, cfg, tcfg2, match_cfg, (h, w), kf, fr, None)
+
+    full_step_j = jax.jit(full_step)
+    timeit("FULL track_step (encode+all)", full_step_j, params, kf, img,
+           n=5, fetch_base=fetch_base)
 
 
 if __name__ == "__main__":

@@ -160,7 +160,7 @@ def test_refine_matches_shift_matches_gather():
 
     ps, ss = matching.refine_matches_shift(
         jnp.asarray(D11)[None], jnp.asarray(D21)[None], jnp.asarray(p1)[None],
-        radius=2, dilation_max=3,
+        radius=2, dilation_max=3, dtype=jnp.float32,
     )
     ps0, ss0 = np.asarray(ps[0]), np.asarray(ss[0])
     # every returned score is a GENUINE descriptor dot at the returned pixel
@@ -172,6 +172,18 @@ def test_refine_matches_shift_matches_gather():
     # positions stay within the total reachable window
     reach = 2 * (3 + 2 + 1)  # radius * sum(dilations)
     assert (np.abs(ps0 - p1) <= reach).all()
+
+    # production path computes the dots in bf16 (the reference kernel uses
+    # fp16): same guarantees at bf16 tolerance
+    psb, ssb = matching.refine_matches_shift(
+        jnp.asarray(D11)[None], jnp.asarray(D21)[None], jnp.asarray(p1)[None],
+        radius=2, dilation_max=3,
+    )
+    psb0, ssb0 = np.asarray(psb[0]), np.asarray(ssb[0])
+    true_b = (D11[psb0[:, 1], psb0[:, 0]] * D21).sum(-1)
+    np.testing.assert_allclose(ssb0, true_b, atol=2e-2)
+    assert (ssb0 >= center - 2e-2).all()
+    assert (np.abs(psb0 - p1) <= reach).all()
 
 
 def test_refine_matches_shift_exact_on_identity():
@@ -191,7 +203,7 @@ def test_refine_matches_shift_exact_on_identity():
     )
     ps, ss = matching.refine_matches_shift(
         jnp.asarray(D11)[None], jnp.asarray(D21)[None], jnp.asarray(p1)[None],
-        radius=2, dilation_max=3,
+        radius=2, dilation_max=3, dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(ss[0]), np.asarray(sg[0]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ps[0]), np.asarray(pg[0]))
