@@ -233,15 +233,13 @@ def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_
     """One decoder pass + both heads — the reference's ``decoder()``
     (mast3r_utils.py:56-72). Returns (res1, res2) dicts.
 
-    Like the decoder streams, the two heads are independent weight stacks
-    over mirrored inputs: vmap over stacked head params doubles the DPT conv
-    batch instead of running two B-sized head passes."""
+    The heads run SEQUENTIALLY: vmapping the conv-heavy DPT over stacked
+    head weights lowers to looped/grouped convolutions that run ~6x slower
+    than two plain passes (measured 16.9ms vmapped vs 2x2.6ms sequential
+    on v5e)."""
     hooks1, hooks2 = decode(params, cfg, f1, pos1, f2, pos2)
-    heads = jax.tree.map(lambda a, b: jnp.stack([a, b]), params["head1"], params["head2"])
-    hooks = [jnp.stack([h1, h2]) for h1, h2 in zip(hooks1, hooks2)]
-    res = jax.vmap(lambda p, *hk: downstream_head(p, cfg, list(hk), img_hw))(heads, *hooks)
-    res1 = jax.tree.map(lambda x: x[0], res)
-    res2 = jax.tree.map(lambda x: x[1], res)
+    res1 = downstream_head(params["head1"], cfg, hooks1, img_hw)
+    res2 = downstream_head(params["head2"], cfg, hooks2, img_hw)
     return res1, res2
 
 

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
+from ..ops.normal_eqs import cols_from_array, reduce_sim3_system
 from ..ops.robust import huber
 
 
@@ -137,25 +138,14 @@ def _reduce_rel_system(drd, w, err, P, Ti):
     P (HW, 3) transformed points, Ti (8,) pose i. Returns (A, gj) with
     H = [[A, -A], [-A, A]], g = (-gj, gj) since Ji = -Jj.
     """
-    Mb = jnp.einsum("kda,kd,kdb->kab", drd, w, drd)  # (HW, 3, 3)
-    q = jnp.einsum("kda,kd->ka", drd, w * err)  # (HW, 3)
-    Mp = jnp.einsum("kab,kb->ka", Mb, P)
-    MS = jnp.cross(Mb, P[:, None, :], axis=-1)  # (M S)_a: = M_a: x P
-    SMS_sum = jnp.einsum("kac,kcb->ab", lie.skew(P), MS)
-
-    Btt = jnp.sum(Mb, axis=0)
-    BtP = -jnp.sum(MS, axis=0)
-    Bts = jnp.sum(Mp, axis=0)
-    BPP = -SMS_sum
-    BPs = jnp.sum(jnp.cross(P, Mp), axis=0)
-    Bss = jnp.sum(P * Mp)[None]
-    B = jnp.block([
-        [Btt, BtP, Bts[:, None]],
-        [BtP.T, BPP, BPs[:, None]],
-        [Bts[None, :], BPs[None, :], Bss[:, None]],
-    ])
-    g_rel = jnp.concatenate(
-        [jnp.sum(q, axis=0), jnp.sum(jnp.cross(P, q), axis=0), jnp.sum(P * q)[None]]
+    # Scalar-expanded VPU reduction (ops/normal_eqs.py) — the einsum
+    # formulation lowered to MXU-padded tiny batched matmuls.
+    R = drd.shape[1]
+    B, g_rel, _ = reduce_sim3_system(
+        cols_from_array(drd),
+        [w[:, i] for i in range(R)],
+        [err[:, i] for i in range(R)],
+        P,
     )
 
     M = _adj_inv_matrix(Ti)

@@ -30,6 +30,7 @@ from ..ops.geometry import (
     point_to_ray_dist,
     project_calib,
 )
+from ..ops.normal_eqs import ray_dist_drd_cols, reduce_sim3_system
 from ..ops.robust import huber
 from . import frame as frame_mod
 from .frame import Frame, KeyframeStore
@@ -198,113 +199,16 @@ def opt_pose_ray_dist_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid):
         err = rd_k - rd_f  # (n, 4)
         w = info * huber(sqrt_info * err, cfg.huber_k)  # (n, 4)
 
-        # Scalar-expanded normal equations on (n,) COLUMNS only. The obvious
-        # einsum formulation ("nda,nd,ndb->nab" etc.) lowers to batched 3x3
-        # matmuls that pad to the 128x128 MXU tile — ~8ms/iteration of
-        # near-empty systolic passes. Expanding the tiny d/a/b dims by hand
-        # keeps everything on the VPU as wide elementwise streams, packed
-        # into one (n, 36) row so a SINGLE reduction produces H, g and cost.
-        px, py, pz = pW[:, 0], pW[:, 1], pW[:, 2]
-        rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
-        d1 = d[:, 0]
-        w0, w1, w2, w3 = w[:, 0], w[:, 1], w[:, 2], w[:, 3]
-        e0, e1, e2, e3 = err[:, 0], err[:, 1], err[:, 2], err[:, 3]
-
-        # dnorm = (I - r r^T)/d (symmetric), row 3 of drd = r
-        inv_d = 1.0 / d1
-        D00 = (1.0 - rx * rx) * inv_d
-        D01 = (-rx * ry) * inv_d
-        D02 = (-rx * rz) * inv_d
-        D11_ = (1.0 - ry * ry) * inv_d
-        D12 = (-ry * rz) * inv_d
-        D22 = (1.0 - rz * rz) * inv_d
-
-        # M = sum_d w_d drd_d drd_d^T (6 unique entries, symmetric)
-        M00 = w0 * D00 * D00 + w1 * D01 * D01 + w2 * D02 * D02 + w3 * rx * rx
-        M01 = w0 * D00 * D01 + w1 * D01 * D11_ + w2 * D02 * D12 + w3 * rx * ry
-        M02 = w0 * D00 * D02 + w1 * D01 * D12 + w2 * D02 * D22 + w3 * rx * rz
-        M11 = w0 * D01 * D01 + w1 * D11_ * D11_ + w2 * D12 * D12 + w3 * ry * ry
-        M12 = w0 * D01 * D02 + w1 * D11_ * D12 + w2 * D12 * D22 + w3 * ry * rz
-        M22 = w0 * D02 * D02 + w1 * D12 * D12 + w2 * D22 * D22 + w3 * rz * rz
-
-        # q = drd^T (w . err)
-        we0, we1, we2, we3 = w0 * e0, w1 * e1, w2 * e2, w3 * e3
-        qx = we0 * D00 + we1 * D01 + we2 * D02 + we3 * rx
-        qy = we0 * D01 + we1 * D11_ + we2 * D12 + we3 * ry
-        qz = we0 * D02 + we1 * D12 + we2 * D22 + we3 * rz
-
-        # Mp = M p
-        Mpx = M00 * px + M01 * py + M02 * pz
-        Mpy = M01 * px + M11 * py + M12 * pz
-        Mpz = M02 * px + M12 * py + M22 * pz
-
-        # MS = M S(p); S = skew(p)
-        MS00 = M01 * pz - M02 * py
-        MS01 = -M00 * pz + M02 * px
-        MS02 = M00 * py - M01 * px
-        MS10 = M11 * pz - M12 * py
-        MS11 = -M01 * pz + M12 * px
-        MS12 = M01 * py - M11 * px
-        MS20 = M12 * pz - M22 * py
-        MS21 = -M02 * pz + M22 * px
-        MS22 = M02 * py - M12 * px
-
-        # SMS = S(p) MS (symmetric, 6 unique)
-        SMS00 = -pz * MS10 + py * MS20
-        SMS01 = -pz * MS11 + py * MS21
-        SMS02 = -pz * MS12 + py * MS22
-        SMS11 = pz * MS01 - px * MS21
-        SMS12 = pz * MS02 - px * MS22
-        SMS22 = -py * MS02 + px * MS12
-
-        # cross(p, Mp) and cross(p, q)
-        pxMp_x = py * Mpz - pz * Mpy
-        pxMp_y = pz * Mpx - px * Mpz
-        pxMp_z = px * Mpy - py * Mpx
-        pxq_x = py * qz - pz * qy
-        pxq_y = pz * qx - px * qz
-        pxq_z = px * qy - py * qx
-
-        contrib = jnp.stack(
-            [
-                M00, M01, M02, M11, M12, M22,                      # Htt (6)
-                MS00, MS01, MS02, MS10, MS11, MS12, MS20, MS21, MS22,  # -HtP (9)
-                Mpx, Mpy, Mpz,                                     # Hts (3)
-                SMS00, SMS01, SMS02, SMS11, SMS12, SMS22,          # -HPP (6)
-                pxMp_x, pxMp_y, pxMp_z,                            # HPs (3)
-                px * Mpx + py * Mpy + pz * Mpz,                    # Hss (1)
-                qx, qy, qz,                                        # g_t (3)
-                pxq_x, pxq_y, pxq_z,                               # g_p (3)
-                px * qx + py * qy + pz * qz,                       # g_s (1)
-                we0 * e0 + we1 * e1 + we2 * e2 + we3 * e3,         # cost (1)
-            ],
-            axis=-1,
-        )  # (n, 36)
-        s = jnp.sum(contrib, axis=0)
-        tri = ([0, 0, 0, 1, 1, 2], [0, 1, 2, 1, 2, 2])
-
-        def unpack_sym(v6):
-            m = jnp.zeros((3, 3), v6.dtype).at[tri[0], tri[1]].set(v6)
-            return m + m.T - jnp.diag(jnp.diag(m))
-
-        Htt = unpack_sym(s[0:6])
-        HtP = -s[6:15].reshape(3, 3)
-        Hts = s[15:18]
-        HPP = -unpack_sym(s[18:24])
-        HPs = s[24:27]
-        Hss = s[27:28]
-        g_t = s[28:31]
-        g_p = s[31:34]
-        g_s = s[34:35]
-        cost = 0.5 * s[35]
-
-        H = jnp.block([
-            [Htt, HtP, Hts[:, None]],
-            [HtP.T, HPP, HPs[:, None]],
-            [Hts[None, :], HPs[None, :], Hss[:, None]],
-        ])
-        g = jnp.concatenate([g_t, g_p, g_s])
-        return H, g, cost
+        # Scalar-expanded normal equations (ops/normal_eqs.py): the einsum
+        # formulation lowered to MXU-padded tiny matmuls at ~8ms/iteration;
+        # the column expansion runs ~0.16ms on the VPU.
+        H, g, cost_sum = reduce_sim3_system(
+            ray_dist_drd_cols(r, d[:, 0]),
+            [w[:, i] for i in range(4)],
+            [err[:, i] for i in range(4)],
+            pW,
+        )
+        return H, g, 0.5 * cost_sum
 
     T_CkCf0 = lie.sim3_rel(T_WCk, T_WCf)
     T_CkCf, ok = _gn_loop_fused(cfg, T_CkCf0, hg)
