@@ -72,10 +72,12 @@ def main():
     def encode(params, img):
         return mast3r.encode_image(params, mcfg, img)
 
-    @partial(jax.jit, static_argnames=())
     def full_step(params, kf, img, idx_init):
-        """encode + track in ONE dispatch per frame (streaming active-KF)."""
-        feat, pos = mast3r.encode_image(params, mcfg, img)
+        """encode + track as FOUR chained async dispatches per frame
+        (encode | decode+heads | matcher | bookkeeping). Program boundaries
+        reset XLA layout/fusion choices; the monolithic single-jit variant
+        ran the matcher ~2.5x slower (87 vs 65 ms/frame on v5e)."""
+        feat, pos = encode(params, img)
         fr = frame_mod.make_empty_frame(0, img, feat, pos)
         return track_step(params, mcfg, tcfg, match_cfg, (h, w), kf, fr, idx_init)
 
