@@ -50,10 +50,17 @@ def run(args) -> dict:
     retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
     calib = dataset.camera_intrinsics.K_frame if (cfg["use_calib"] and dataset.has_calib()) else None
 
+    # multi-chip: shard the backend's pair-decode batch over a (dp, tp) mesh
+    # (the reference's second-GPU backend split, run_vio.py:111-114, done the
+    # TPU way — one program over ICI instead of a second model copy)
+    from .parallel.mesh import default_mesh
+
+    mesh = default_mesh()
+
     slam = SLAM(
         cfg, params, model_cfg, (h, w), calib=calib, retrieval_db=retrieval,
         use_backend=True, use_reloc=retrieval is not None,
-        single_thread=bool(cfg["single_thread"]),
+        single_thread=bool(cfg["single_thread"]), mesh=mesh,
     )
 
     from .data.prefetch import PrefetchLoader

@@ -29,6 +29,16 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def default_mesh():
+    """(dp, tp) mesh over all local devices, or None on a single chip —
+    the auto layout the CLIs hand to ``SLAM(mesh=...)``."""
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    tp = 2 if n % 2 == 0 else 1
+    return make_mesh(dp=n // tp, tp=tp)
+
+
 def _pspec_for_path(path: str, ndim: int) -> P:
     """Tensor-parallel layout for the MASt3R transformer params.
 

@@ -48,10 +48,12 @@ def run_dataset(args):
 
             shaped = resize_img(img, 512)
             h, w = int(shaped["true_shape"][0][0]), int(shaped["true_shape"][0][1])
+            from .parallel.mesh import default_mesh
+
             slam = SLAM(cfg, params, model_cfg, (h, w), retrieval_db=retrieval,
                         use_backend=True, use_reloc=retrieval is not None,
                         single_thread=bool(cfg["single_thread"]),
-                        local_opt_mode=args.use_odometry)
+                        local_opt_mode=args.use_odometry, mesh=default_mesh())
         slam.grab_rgb(img, timestamp=ts, odom_pose=odom_pose)
         fps_count += 1
         if fps_count == 30:
@@ -92,9 +94,12 @@ def run_robot(args):  # pragma: no cover - hardware
 
                 shaped = resize_img(img, 512)
                 h, w = int(shaped["true_shape"][0][0]), int(shaped["true_shape"][0][1])
+                from .parallel.mesh import default_mesh
+
                 slam = SLAM(cfg, params, model_cfg, (h, w), retrieval_db=retrieval,
                             use_backend=True, use_reloc=retrieval is not None,
-                            single_thread=False, local_opt_mode=True)
+                            single_thread=False, local_opt_mode=True,
+                            mesh=default_mesh())
             slam.grab_rgb(img, timestamp=ts,
                           odom_pose=odom_pose if args.use_odometry else None)
     finally:

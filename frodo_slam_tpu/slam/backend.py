@@ -41,7 +41,15 @@ class BackendGraph:
 
     def __init__(self, params, model_cfg, cfg: BAConfig, match_cfg: tuple,
                  img_hw: Tuple[int, int], max_edges: int = 64, max_odom: int = 64,
-                 Q_conf: float = 1.5, min_match_frac: float = 0.1):
+                 Q_conf: float = 1.5, min_match_frac: float = 0.1, mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip: tensor-parallel params + dp-sharded pair batches for
+            # the symmetric decode (SURVEY.md section 2.5 — the batched edge
+            # decode is the system's genuinely parallel heavy compute)
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.model_cfg = model_cfg
         self.cfg = cfg
@@ -98,7 +106,24 @@ class BackendGraph:
         slots_j = [int(j) % store.capacity for j in jj]
         feat_i = store.feat[jnp.asarray(slots_i)]
         feat_j = store.feat[jnp.asarray(slots_j)]
-        pos = jnp.broadcast_to(store.pos[None], (len(ii), *store.pos.shape))
+        n_pairs = len(ii)
+        if self.mesh is not None:
+            # pad the pair batch to the dp extent and shard it; padded rows
+            # are never visited by the gating loop below
+            from ..parallel.mesh import shard_batch
+
+            dp = int(self.mesh.shape["dp"])
+            padn = (-n_pairs) % dp
+            if padn:
+                feat_i = jnp.concatenate([feat_i, jnp.repeat(feat_i[-1:], padn, 0)])
+                feat_j = jnp.concatenate([feat_j, jnp.repeat(feat_j[-1:], padn, 0)])
+                n_pairs += padn
+            pos = jnp.broadcast_to(store.pos[None], (n_pairs, *store.pos.shape))
+            feat_i = shard_batch(feat_i, self.mesh)
+            feat_j = shard_batch(feat_j, self.mesh)
+            pos = shard_batch(pos, self.mesh)
+        else:
+            pos = jnp.broadcast_to(store.pos[None], (n_pairs, *store.pos.shape))
 
         (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
          Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = match_symmetric(

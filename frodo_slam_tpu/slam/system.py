@@ -63,6 +63,7 @@ class SLAM:
         use_reloc: bool = True,
         single_thread: bool = True,
         local_opt_mode: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -122,6 +123,7 @@ class SLAM:
             params, model_cfg, self.ba_cfg, self.match_cfg, img_hw,
             max_edges=int(cfg.tpu.max_edges), max_odom=int(cfg.tpu.max_odom_edges),
             Q_conf=float(lo.Q_conf), min_match_frac=float(lo.min_match_frac),
+            mesh=mesh,
         )
         self.retrieval = retrieval_db
         self.K = None if calib is None else jnp.asarray(calib, jnp.float32)

@@ -115,3 +115,30 @@ def test_slam_with_odometry_factors(tiny_model):
     assert slam.backend._n_odom >= 1
     assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
     slam.terminate()
+
+
+def test_slam_with_device_mesh(tiny_model):
+    """Backend pair decode dp/tp-sharded over the 8-virtual-device mesh:
+    same success path as the single-device test, exercising shard_params +
+    padded shard_batch through SLAM.grab_rgb (SURVEY.md section 2.5)."""
+    from frodo_slam_tpu.parallel.mesh import make_mesh
+
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8},
+    )
+    mesh = make_mesh(dp=4, tp=2)
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=True,
+                mesh=mesh)
+    img = _img(0)
+    for i in range(3):
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(i))
+        assert ok and np.all(np.isfinite(pose))
+    assert len(slam.backend._pairs) >= 1  # sharded add_factors accepted edges
+    stamps, poses = slam.keyframe_poses()
+    assert np.all(np.isfinite(poses))
+    slam.terminate()
