@@ -233,13 +233,36 @@ def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_
     """One decoder pass + both heads — the reference's ``decoder()``
     (mast3r_utils.py:56-72). Returns (res1, res2) dicts.
 
-    The heads run SEQUENTIALLY: vmapping the conv-heavy DPT over stacked
+    The DPT heads run SEQUENTIALLY: vmapping the conv-heavy DPT over stacked
     head weights lowers to looped/grouped convolutions that run ~6x slower
-    than two plain passes (measured 16.9ms vmapped vs 2x2.6ms sequential
-    on v5e)."""
+    than two plain passes (measured 16.9ms vmapped vs 2x2.6ms sequential on
+    v5e). The cat-MLP heads are pure matmuls, which DO batch cleanly — they
+    run as one vmapped pair."""
     hooks1, hooks2 = decode(params, cfg, f1, pos1, f2, pos2)
-    res1 = downstream_head(params["head1"], cfg, hooks1, img_hw)
-    res2 = downstream_head(params["head2"], cfg, hooks2, img_hw)
+    h, w = img_hw
+    grid = (h // cfg.patch_size, w // cfg.patch_size)
+
+    pc1 = dpt_mod.dpt_apply(params["head1"]["dpt"], hooks1, grid)
+    pc2 = dpt_mod.dpt_apply(params["head2"]["dpt"], hooks2, grid)
+
+    cat_p = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        params["head1"]["catmlp"], params["head2"]["catmlp"],
+    )
+    enc = jnp.stack([hooks1[0], hooks2[0]])
+    dec = jnp.stack([hooks1[3], hooks2[3]])
+    local = jax.vmap(
+        lambda p, e, d: dpt_mod.catmlp_apply(
+            p, e, d, grid, cfg.patch_size, cfg.local_feat_dim, cfg.two_confs
+        )
+    )(cat_p, enc, dec)
+
+    res1 = dpt_mod.postprocess(
+        jnp.concatenate([pc1, local[0]], axis=-1), cfg.local_feat_dim
+    )
+    res2 = dpt_mod.postprocess(
+        jnp.concatenate([pc2, local[1]], axis=-1), cfg.local_feat_dim
+    )
     return res1, res2
 
 
