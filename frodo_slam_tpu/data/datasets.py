@@ -239,7 +239,10 @@ class RGBFiles(MonocularDataset):
     def __init__(self, dataset_path, **kw):
         super().__init__(use_calib=False)
         self.dataset_path = pathlib.Path(dataset_path)
-        self.rgb_files = natsorted(self.dataset_path.glob("*.jpg"))
+        files = []
+        for pat in ("*.jpg", "*.jpeg", "*.png"):  # reference globs jpg only
+            files += self.dataset_path.glob(pat)
+        self.rgb_files = natsorted(files)
         self.timestamps = list(np.arange(len(self.rgb_files), dtype=self.dtype) / 30.0)
 
 

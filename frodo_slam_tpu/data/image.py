@@ -37,7 +37,9 @@ def resize_img(img: np.ndarray, size: int = 512, square_ok: bool = False,
     and optionally the (scale_w, scale_h, half_crop_w, half_crop_h) transform
     used by Intrinsics rescaling (mast3r_utils.py:448-455).
     """
-    assert size in (224, 512)
+    # 224 keeps the reference's square-crop special case; any other size
+    # follows the 512-long-edge path (sizes below 512 are used by tests)
+    assert size == 224 or size % 16 == 0, size
     pil = PIL.Image.fromarray(np.uint8(img * 255))
     W1, H1 = pil.size
     if size == 224:
