@@ -89,3 +89,77 @@ def pgo_optimize(state: PoseGraphState):
 
     new_scale = jnp.where(ok, state.scale * 0 + s, state.scale)
     return dataclasses.replace(state, scale=new_scale), s, ok
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pgo_optimize_full(
+    Twc: jax.Array,
+    Twc_prior_inv: jax.Array,
+    Todom_inv: jax.Array,
+    prior_weight: jax.Array,
+    odom_weight: jax.Array,
+    lc_edges: jax.Array,
+    lc_T: jax.Array,
+    lc_active: jax.Array,
+    iters: int = 10,
+):
+    """Full Sim(3) pose-graph optimization (the reference's ``OdomResidual``
+    variant, pgo.py:82-128 — unused by its default config but part of the
+    API): optimize all poses so consecutive deltas agree with both the VO
+    prior and the odometry measurement, plus optional loop-closure terms.
+
+    Residual per consecutive pair i (exactly the reference's sum):
+        r_i = w_p * log((T_i^-1 T_{i+1}) * Twc_prior_inv_i)
+            + w_o * log((T_i^-1 T_{i+1}) * Todom_inv_i)
+    Loop-closure rows: log((T_a^-1 T_b) * T_lc) per active edge, summed into
+    the corresponding consecutive row like the reference's broadcast add.
+
+    Solved as damped Gauss-Newton on the left-tangent of every pose with
+    autodiff Jacobians and an on-device Cholesky (the reference uses pypose
+    LM + TrustRegion; same stationary points).
+
+    Args: Twc (N, 8) Sim3; *_inv (N-1, 8) Sim3; weights (N-1, 7) or scalars;
+    lc_edges (L, 2) int32; lc_T (L, 8); lc_active (L,) bool.
+    Returns (Twc_new, final_cost).
+    """
+    N = Twc.shape[0]
+    dtype = Twc.dtype
+
+    def residual(xi_flat):
+        xi = xi_flat.reshape(N, 7)
+        T = jax.vmap(lie.sim3_retr)(Twc, xi)
+        dT = jax.vmap(lie.sim3_mul)(jax.vmap(lie.sim3_inv)(T[:-1]), T[1:])
+        r_prior = jax.vmap(lie.sim3_log)(jax.vmap(lie.sim3_mul)(dT, Twc_prior_inv))
+        r_odom = jax.vmap(lie.sim3_log)(jax.vmap(lie.sim3_mul)(dT, Todom_inv))
+        r = r_prior * prior_weight + r_odom * odom_weight
+        # loop closures: accumulate into the row of their source pose
+        dlc = jax.vmap(lie.sim3_mul)(
+            jax.vmap(lie.sim3_inv)(T[lc_edges[:, 0]]), T[lc_edges[:, 1]]
+        )
+        r_lc = jax.vmap(lie.sim3_log)(jax.vmap(lie.sim3_mul)(dlc, lc_T))
+        r_lc = r_lc * lc_active[:, None].astype(dtype)
+        r = r.at[jnp.clip(lc_edges[:, 0], 0, N - 2)].add(r_lc)
+        return r.reshape(-1)
+
+    def step(carry, _):
+        xi, lam = carry
+        r = residual(xi)
+        J = jax.jacfwd(residual)(xi)  # ((N-1)*7, N*7)
+        H = J.T @ J + lam * jnp.eye(N * 7, dtype=dtype)
+        g = -(J.T @ r)
+        L = jnp.linalg.cholesky(H)
+        ok = jnp.all(jnp.isfinite(L))
+        dx = jnp.where(
+            ok, jax.scipy.linalg.cho_solve((L, True), g), jnp.zeros_like(g)
+        )
+        new_cost = jnp.sum(residual(xi + dx) ** 2)
+        old_cost = jnp.sum(r**2)
+        accept = new_cost < old_cost
+        xi = jnp.where(accept, xi + dx, xi)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return (xi, lam), new_cost
+
+    xi0 = jnp.zeros((N * 7,), dtype)
+    (xi, _), costs = jax.lax.scan(step, (xi0, jnp.asarray(1e-6, dtype)), None, length=iters)
+    T_new = jax.vmap(lie.sim3_retr)(Twc, xi.reshape(N, 7))
+    return T_new, costs[-1]

@@ -198,3 +198,47 @@ def test_slam_checkpoint_roundtrip(tmp_path):
     # resumed instance keeps tracking
     ok, pose, new_kf = slam2.grab_rgb(img, timestamp=3.0)
     assert ok and np.all(np.isfinite(pose))
+
+
+def test_pgo_full_sim3_pulls_poses_to_measurements():
+    """pgo_optimize_full (the reference's OdomResidual variant, pgo.py:82-128):
+    noisy poses + exact delta measurements -> cost drops and relative poses
+    approach the measured deltas."""
+    import jax
+    import numpy as np
+
+    from frodo_slam_tpu.ops import lie
+    from frodo_slam_tpu.slam.pgo import pgo_optimize_full
+
+    rng = np.random.default_rng(0)
+    N = 5
+    # ground-truth chain of Sim3 poses
+    T = [jnp.asarray([0, 0, 0, 0, 0, 0, 1, 1], jnp.float32)]
+    for i in range(1, N):
+        xi = jnp.asarray(rng.normal(size=7) * 0.1, jnp.float32)
+        T.append(lie.sim3_mul(T[-1], lie.sim3_exp(xi)))
+    T_gt = jnp.stack(T)
+    dT_gt = jax.vmap(lie.sim3_mul)(jax.vmap(lie.sim3_inv)(T_gt[:-1]), T_gt[1:])
+    meas_inv = jax.vmap(lie.sim3_inv)(dT_gt)
+
+    # perturb every pose except the first
+    noise = jnp.asarray(rng.normal(size=(N, 7)) * 0.05, jnp.float32).at[0].set(0.0)
+    T_noisy = jax.vmap(lie.sim3_retr)(T_gt, noise)
+
+    w = jnp.ones((N - 1, 7), jnp.float32)
+    lc_edges = jnp.zeros((1, 2), jnp.int32)
+    lc_T = jnp.asarray([[0, 0, 0, 0, 0, 0, 1, 1]], jnp.float32)
+    lc_active = jnp.zeros((1,), bool)
+
+    def cost(Tp):
+        d = jax.vmap(lie.sim3_mul)(jax.vmap(lie.sim3_inv)(Tp[:-1]), Tp[1:])
+        r = jax.vmap(lie.sim3_log)(jax.vmap(lie.sim3_mul)(d, meas_inv))
+        return float(jnp.sum(r * r))
+
+    c0 = cost(T_noisy)
+    T_new, c_final = pgo_optimize_full(
+        T_noisy, meas_inv, meas_inv, w, w, lc_edges, lc_T, lc_active, iters=10
+    )
+    assert np.all(np.isfinite(np.asarray(T_new)))
+    c1 = cost(T_new)
+    assert c1 < 0.05 * c0, (c0, c1)
