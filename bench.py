@@ -55,9 +55,15 @@ def main():
         match_frac_thresh=float(cfg.tracking.match_frac_thresh),
     )
 
-    params = mast3r.cast_transformer_params(
-        mast3r.init_params(jax.random.PRNGKey(0), mcfg), mcfg.dtype
-    )
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    # share decoder2/head2 := decoder/head1: with independent random weights
+    # the two decoded views are geometrically inconsistent, so the LM matcher
+    # wanders and its gathers scatter — a regime real (trained) weights never
+    # produce. Sharing makes identical frames decode identically, which is
+    # what a converged matcher sees on real sequences.
+    params["head2"] = params["head1"]
+    params["dec_blocks2"] = params["dec_blocks"]
+    params = mast3r.cast_transformer_params(params, mcfg.dtype)
     hw = h * w
     del capacity  # streaming design: no ring buffer in the per-frame program
 
