@@ -106,4 +106,7 @@ def build_parser():
 
 
 if __name__ == "__main__":
+    from .utils.log import configure
+
+    configure("logs/slam.log")
     run(build_parser().parse_args())

@@ -125,6 +125,9 @@ def build_parser():
 
 
 if __name__ == "__main__":
+    from .utils.log import configure
+
+    configure("logs/vio.log")  # run_vio.py:272 file-sink contract
     args = build_parser().parse_args()
     if args.robot:
         run_robot(args)

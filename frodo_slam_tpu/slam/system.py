@@ -46,6 +46,9 @@ from .height_prior import RectanglePlaneEstimator, scale_targets
 from .inference import decode_mono
 from .pgo import make_pose_graph, pgo_add_frame, pgo_optimize
 from .tracker import TrackingCfg, track_step
+from ..utils.log import get_logger
+
+log = get_logger("slam")
 
 
 class SLAM:
@@ -160,6 +163,8 @@ class SLAM:
         if int(self.store.n_size) > 0:
             stamps, poses = self.keyframe_poses()
             self.atlas.append({"timestamps": stamps, "T_WC": poses})
+            log.warning("map reset: archiving %d keyframes to atlas #%d",
+                        len(stamps), len(self.atlas))
         cap = self.store.capacity
         n_tok = self.store.feat.shape[1]
         enc_dim = self.store.feat.shape[2]
@@ -261,10 +266,14 @@ class SLAM:
         if not ok:
             self._idx_f2k = None
             self.loss_track_counter += 1
+            log.info("tracking failed at t=%.3f (consecutive losses: %d, "
+                     "match_frac=%.4f)", timestamp, self.loss_track_counter,
+                     float(res.match_frac))
             relocalized = False
             if self.use_reloc and self.retrieval is not None and len(self.kf_timestamps) > 1:
                 relocalized = self._relocalize(frame, timestamp)
             if relocalized:
+                log.info("relocalized at t=%.3f", timestamp)
                 self.loss_track_counter = 0
                 ok = True
             elif self.loss_track_counter >= int(self.cfg.tracking.new_map_after_loss_track_N):
