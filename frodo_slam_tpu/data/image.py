@@ -8,7 +8,7 @@ network was trained on LANCZOS/BICUBIC-resized, center-cropped inputs.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import PIL.Image

@@ -13,7 +13,6 @@ import queue
 import threading
 from typing import Iterator, Optional, Tuple
 
-import numpy as np
 
 
 class PrefetchLoader:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import Params, layernorm_init, linear, linear_init, mlp, mlp_init
+from .layers import Params, mlp, mlp_init
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,6 @@ instead of reducing a 14x14 over points.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 

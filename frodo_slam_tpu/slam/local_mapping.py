@@ -11,14 +11,14 @@ backend uses, so enabling it costs no extra compilation.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from .backend import BackendGraph
 from .frame import KeyframeStore
-from .global_opt import BAConfig, Edges
+from .global_opt import Edges
 
 
 class LocalFactorGraph(BackendGraph):

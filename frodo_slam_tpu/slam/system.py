@@ -40,7 +40,7 @@ from ..models import mast3r
 from ..ops import lie
 from . import frame as frame_mod
 from .backend import BackendGraph
-from .frame import KeyframeStore, Mode
+from .frame import Mode
 from .global_opt import BAConfig
 from .height_prior import RectanglePlaneEstimator, scale_targets
 from .inference import decode_mono

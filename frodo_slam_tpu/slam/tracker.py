@@ -35,7 +35,7 @@ from ..ops import matching
 from ..ops.normal_eqs import ray_dist_drd_cols, reduce_sim3_system
 from ..ops.robust import huber
 from . import frame as frame_mod
-from .frame import Frame, KeyframeStore
+from .frame import Frame
 from .inference import AsymOut
 
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import pathlib
-from typing import Tuple
 
 import jax
 import numpy as np

@@ -14,7 +14,7 @@ timestamp, Umeyama Sim(3) alignment, RMSE of translation residuals.
 from __future__ import annotations
 
 import pathlib
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
