@@ -142,3 +142,52 @@ def test_slam_with_device_mesh(tiny_model):
     stamps, poses = slam.keyframe_poses()
     assert np.all(np.isfinite(poses))
     slam.terminate()
+
+
+def test_slam_threaded_backend(tiny_model):
+    """single_thread=False runs the backend on a host thread (the reference's
+    second-process/second-GPU mode, vio.py:221-226): same success path, no
+    deadlock, terminate() joins cleanly."""
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8},
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=False)
+    img = _img(0)
+    for i in range(4):
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(i))
+        assert ok and np.all(np.isfinite(pose))
+    slam.terminate()
+    assert slam._backend_thread is None or not slam._backend_thread.is_alive()
+    assert len(slam.backend._pairs) >= 1
+    stamps, poses = slam.keyframe_poses()
+    assert np.all(np.isfinite(poses))
+
+
+def test_slam_relocalization_recovers_before_reset(tiny_model):
+    """Reloc flow (vio.py:29-72): after keyframes exist, a garbage frame
+    fails tracking, and a good frame relocalizes against the retrieval
+    database before the loss counter reaches the map-reset threshold."""
+    slam = _make_slam(tiny_model)
+    slam.use_reloc = True
+    img = _img(0)
+    for i in range(3):
+        ok, _, _ = slam.grab_rgb(img, timestamp=float(i))
+        assert ok
+    n_before = int(slam.store.n_total)
+
+    # a structurally different frame: tracking fails, reloc may or may not
+    # match it — either way the counter must advance without a reset
+    ok, _, _ = slam.grab_rgb(_img(99), timestamp=3.0)
+    assert slam.mode == Mode.TRACKING
+    assert int(slam.store.n_total) >= n_before  # no reset happened
+
+    # the original view again: retrieval returns the stored keyframes and the
+    # strict reloc edges match, so tracking recovers
+    ok, _, _ = slam.grab_rgb(img, timestamp=4.0)
+    assert slam.loss_track_counter == 0 or ok
+    slam.terminate()
