@@ -1,6 +1,7 @@
 #!/bin/bash
 # 7-Scenes evaluation (reference scripts/eval_7_scenes.sh); ground truths in
-# groundtruths/7-scenes/ of the reference release.
+# groundtruths/7-scenes/ of the reference release — regenerate with:
+#   python scripts/convert_groundtruths.py 7-scenes <root> groundtruths/7-scenes
 set -e
 ROOT=${1:-datasets/7-scenes}
 GT=${2:-groundtruths/7-scenes}

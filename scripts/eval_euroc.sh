@@ -1,5 +1,6 @@
 #!/bin/bash
 # EuRoC evaluation (reference scripts/eval_euroc.sh), no-calib mode.
+# Ground truths: python scripts/convert_groundtruths.py euroc <root> groundtruths/euroc
 set -e
 ROOT=${1:-datasets/euroc}
 GT=${2:-groundtruths/euroc}
