@@ -15,8 +15,10 @@ are the jitted programs in inference.py / global_opt.py.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +35,61 @@ from .global_opt import (
     solve_gn_rays,
 )
 from .inference import match_symmetric
+
+
+@partial(jax.jit, static_argnames=())
+def _gate_pairs(idx_i2j, idx_j2i, valid_match_j, valid_match_i, Qii, Qjj, Qji, Qij,
+                q_conf):
+    """Combined confidences + bidirectional gating in ONE dispatch
+    (global_opt_bk0.py:107-147). Eager per-op execution of this block cost
+    seconds per keyframe through the remote-TPU tunnel."""
+    bi = jnp.arange(idx_i2j.shape[0])[:, None]
+    Qj = jnp.sqrt(Qii[bi, idx_i2j] * Qji)
+    Qi = jnp.sqrt(Qjj[bi, idx_j2i] * Qij)
+    valid_j = valid_match_j & (Qj > q_conf)
+    valid_i = valid_match_i & (Qi > q_conf)
+    fracs = jnp.stack(
+        [valid_j.mean(axis=(1, 2)), valid_i.mean(axis=(1, 2))], axis=-1
+    )  # (N, 2) — the ONLY host fetch add_factors needs
+    return Qj, Qi, valid_j, valid_i, fracs
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_pair_rows(edges: Edges, r0, i, j, idx_i2j, idx_j2i,
+                     valid_j, valid_i, Qj, Qi):
+    """Write both directed rows of one pair in ONE donated dispatch — a
+    chain of eager .at[].set() calls copied the full padded edge buffers
+    (tens of MB) once per field."""
+    r1 = r0 + 1
+    return Edges(
+        ii=edges.ii.at[r0].set(i).at[r1].set(j),
+        jj=edges.jj.at[r0].set(j).at[r1].set(i),
+        idx=edges.idx.at[r0].set(idx_i2j.astype(jnp.int32))
+        .at[r1].set(idx_j2i.astype(jnp.int32)),
+        valid=edges.valid.at[r0].set(valid_j).at[r1].set(valid_i),
+        Q=edges.Q.at[r0].set(Qj.astype(edges.Q.dtype))
+        .at[r1].set(Qi.astype(edges.Q.dtype)),
+        active=edges.active.at[r0].set(True).at[r1].set(True),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _shift_rows_jit(edges: Edges, pair_idx):
+    """Evict pair ``pair_idx``: shift later rows down by 2 and zero the tail,
+    as one donated gather per field (the eager concat formulation copied the
+    full padded buffers per field)."""
+    E = edges.ii.shape[0]
+    rows = jnp.arange(E, dtype=jnp.int32)
+    src = jnp.where(rows >= 2 * pair_idx, rows + 2, rows)
+    live = src < E
+    srcc = jnp.minimum(src, E - 1)
+
+    def shift(a):
+        out = a[srcc]
+        mask = live.reshape((E,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, out, jnp.zeros_like(out))
+
+    return Edges(*[shift(getattr(edges, f)) for f in Edges._fields])
 
 
 class BackendGraph:
@@ -130,19 +187,16 @@ class BackendGraph:
             feat_i, pos, feat_j, pos, self.img_hw,
         )
 
-        # combined confidences (upstream semantics, global_opt_bk0.py:107-147)
-        bi = jnp.arange(idx_i2j.shape[0])[:, None]
-        Qj = jnp.sqrt(Qii[bi, idx_i2j] * Qji)
-        Qi = jnp.sqrt(Qjj[bi, idx_j2i] * Qij)
-        valid_j = valid_match_j & (Qj > self.Q_conf)
-        valid_i = valid_match_i & (Qi > self.Q_conf)
-        match_frac_j = np.asarray(valid_j.mean(axis=(1, 2)))
-        match_frac_i = np.asarray(valid_i.mean(axis=(1, 2)))
+        Qj, Qi, valid_j, valid_i, fracs = _gate_pairs(
+            idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+            Qii, Qjj, Qji, Qij, jnp.float32(self.Q_conf),
+        )
+        fracs = np.asarray(fracs)  # one small host fetch
 
         added = False
         for n, (i, j) in enumerate(zip(ii, jj)):
             consecutive = i == j - 1
-            bad = min(match_frac_j[n], match_frac_i[n]) < mmf
+            bad = float(fracs[n].min()) < mmf
             if bad and is_reloc:
                 return False
             if bad and not consecutive:
@@ -171,27 +225,14 @@ class BackendGraph:
             self._shift_rows(evict)
             pair_slot = len(self._pairs)
         self._pairs.append((int(i), int(j)))
-        r0, r1 = 2 * pair_slot, 2 * pair_slot + 1
-        e = self.edges
-        self.edges = Edges(
-            ii=e.ii.at[r0].set(int(i)).at[r1].set(int(j)),
-            jj=e.jj.at[r0].set(int(j)).at[r1].set(int(i)),
-            idx=e.idx.at[r0].set(idx_i2j.astype(jnp.int32)).at[r1].set(idx_j2i.astype(jnp.int32)),
-            valid=e.valid.at[r0].set(valid_j).at[r1].set(valid_i),
-            Q=e.Q.at[r0].set(Qj.astype(e.Q.dtype)).at[r1].set(Qi.astype(e.Q.dtype)),
-            active=e.active.at[r0].set(True).at[r1].set(True),
+        self.edges = _write_pair_rows(
+            self.edges, jnp.int32(2 * pair_slot), jnp.int32(i), jnp.int32(j),
+            idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi,
         )
 
     def _shift_rows(self, pair_idx: int):
-        """Compact padded rows after evicting pair ``pair_idx`` (host-rare)."""
-        e = self.edges
-
-        def shift(a):
-            return jnp.concatenate(
-                [a[: 2 * pair_idx], a[2 * pair_idx + 2 :], jnp.zeros_like(a[:2])], axis=0
-            )
-
-        self.edges = Edges(*[shift(getattr(e, f)) for f in Edges._fields])
+        """Compact padded rows after evicting pair ``pair_idx``."""
+        self.edges = _shift_rows_jit(self.edges, jnp.int32(pair_idx))
 
     def remove_dead_edges(self, oldest_alive: int):
         """Drop edges touching overwritten ring slots (_materialise_edges,
