@@ -31,11 +31,12 @@ def run(args) -> dict:
     from .utils import evaluate
 
     cfg = make_config(args.config)
+    calib_yaml = None
     if args.calib:
         import yaml
 
         with open(args.calib) as f:
-            _ = yaml.safe_load(f)
+            calib_yaml = yaml.safe_load(f)
         cfg["use_calib"] = True
 
     dataset = load_dataset(
@@ -44,6 +45,20 @@ def run(args) -> dict:
         center_principal_point=bool(cfg["dataset"]["center_principle_point"]),
         subsample=int(cfg["dataset"]["subsample"]),
     )
+    if calib_yaml is not None:
+        # override the dataset's intrinsics from the --calib yaml
+        # (reference main.py:175-184: width/height/calibration keys)
+        from .data.datasets import Intrinsics
+
+        dataset.use_calibration = True
+        dataset.camera_intrinsics = Intrinsics.from_calib(
+            dataset.img_size,
+            int(calib_yaml["width"]),
+            int(calib_yaml["height"]),
+            list(calib_yaml["calibration"]),
+            use_calib=True,
+            center_principal_point=bool(cfg["dataset"]["center_principle_point"]),
+        )
     (h, w), _ = dataset.get_img_shape()
 
     params, model_cfg = load_mast3r(args.weights)

@@ -15,6 +15,30 @@ import time
 import numpy as np
 
 
+def _load_calib_K(args, cfg):
+    """Build the network-crop K from a ``--calib`` yaml and flip
+    ``use_calib`` on (reference run_vio.py:94-110: the raw frames stay
+    un-remapped; only ``K_frame`` is handed to the VIO)."""
+    calib_path = getattr(args, "calib", None)
+    if not calib_path:
+        return None
+    import yaml
+
+    with open(calib_path) as f:
+        intr = yaml.safe_load(f)
+    from .data.datasets import Intrinsics
+
+    ci = Intrinsics.from_calib(
+        512,
+        int(intr["width"]),
+        int(intr["height"]),
+        list(intr["calibration"]),
+        use_calib=True,
+    )
+    cfg["use_calib"] = True
+    return ci.K_frame
+
+
 def run_dataset(args):
     """Replay a recorded session (run_vio.py:172-242)."""
     import jax
@@ -27,6 +51,7 @@ def run_dataset(args):
     from .slam.system import SLAM
 
     cfg = make_config(args.config)
+    K_frame = _load_calib_K(args, cfg)
     data = OdometryData(args.dataset, wall_clock=args.wall_clock, use_odometry=args.use_odometry)
 
     params, model_cfg = load_mast3r(args.weights)
@@ -50,7 +75,8 @@ def run_dataset(args):
             h, w = int(shaped["true_shape"][0][0]), int(shaped["true_shape"][0][1])
             from .parallel.mesh import default_mesh
 
-            slam = SLAM(cfg, params, model_cfg, (h, w), retrieval_db=retrieval,
+            slam = SLAM(cfg, params, model_cfg, (h, w), calib=K_frame,
+                        retrieval_db=retrieval,
                         use_backend=True, use_reloc=retrieval is not None,
                         single_thread=bool(cfg["single_thread"]),
                         local_opt_mode=args.use_odometry, mesh=default_mesh())
@@ -76,6 +102,7 @@ def run_robot(args):  # pragma: no cover - hardware
     from .slam.system import SLAM
 
     cfg = make_config(args.config)
+    K_frame = _load_calib_K(args, cfg)
     odo = StraightOrSpinOdometry(robot_type=args.robot_type)
     odo.start()
     params, model_cfg = load_mast3r(args.weights)
@@ -96,7 +123,8 @@ def run_robot(args):  # pragma: no cover - hardware
                 h, w = int(shaped["true_shape"][0][0]), int(shaped["true_shape"][0][1])
                 from .parallel.mesh import default_mesh
 
-                slam = SLAM(cfg, params, model_cfg, (h, w), retrieval_db=retrieval,
+                slam = SLAM(cfg, params, model_cfg, (h, w), calib=K_frame,
+                            retrieval_db=retrieval,
                             use_backend=True, use_reloc=retrieval is not None,
                             single_thread=False, local_opt_mode=True,
                             mesh=default_mesh())
