@@ -65,6 +65,11 @@ class MASt3RConfig:
     dpt_layer_dims: Tuple[int, ...] = (96, 192, 384, 768)
     dtype: Any = jnp.bfloat16  # encoder/decoder compute dtype
     attention_impl: str = "xla"  # "xla" | "pallas" (TPU flash-attention kernel)
+    # portrait inputs (true height > width) are stored transposed into
+    # landscape layout and flagged here; the patch embed / heads transpose
+    # in and out (the reference's ManyAR_PatchEmbed + transpose_to_landscape
+    # contract). Static: one aspect per compiled program.
+    portrait: bool = False
 
     @property
     def hooks(self) -> Tuple[int, int, int, int]:
@@ -155,11 +160,21 @@ def init_params(rng, cfg: MASt3RConfig) -> Params:
 # forward
 # ---------------------------------------------------------------------------
 
-def encode_image(params: Params, cfg: MASt3RConfig, img: jax.Array):
-    """``img``: (B, H, W, 3) ImgNorm'd. Returns f32 feat (B, N, D), pos.
+def encode_image(params: Params, cfg: MASt3RConfig, img: jax.Array,
+                 portrait=None):
+    """``img``: (B, H, W, 3) ImgNorm'd, stored landscape (W >= H). Returns
+    f32 feat (B, N, D), pos.
 
-    Spec: ``dust3r/model.py:127-139`` (`_encode_image`).
-    """
+    Spec: ``dust3r/model.py:127-139`` (`_encode_image`). ``portrait=True``
+    follows the reference's ``ManyAR_PatchEmbed`` contract
+    (dust3r/patch_embed.py:43-71): a portrait image is stored transposed
+    into landscape layout; the patch embed transposes it back before the
+    conv, so tokens come out in portrait raster order with portrait (y, x)
+    positions. Static flag (defaults to ``cfg.portrait``): one aspect per
+    compiled program (TPU shapes)."""
+    portrait = cfg.portrait if portrait is None else portrait
+    if portrait:
+        img = jnp.swapaxes(img, 1, 2)
     x, pos = patch_embed(params["patch_embed"], img.astype(cfg.dtype), cfg.patch_size)
 
     def step(carry, layer_p):
@@ -216,30 +231,54 @@ def decode(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2):
     return hooks1, hooks2
 
 
-def downstream_head(params_head: Params, cfg: MASt3RConfig, hooks: List[jax.Array], img_hw):
+def _transpose_res(res: Dict) -> Dict:
+    """Swap the spatial axes of every head output map — the reference's
+    ``transposed()`` (dust3r/utils/misc.py:108) bringing a portrait-computed
+    result back to the landscape storage layout."""
+    return {k: jnp.swapaxes(v, 1, 2) for k, v in res.items()}
+
+
+def downstream_head(params_head: Params, cfg: MASt3RConfig, hooks: List[jax.Array], img_hw,
+                    portrait=None):
     """DPT + cat-MLP head + postprocess, all f32
-    (catmlp_dpt_head.py:71-96)."""
+    (catmlp_dpt_head.py:71-96).
+
+    ``img_hw`` is always the landscape storage shape (h <= w). With
+    ``portrait=True`` the head computes at the true portrait grid (w, h) and
+    the outputs are transposed back to landscape layout — the reference's
+    ``transpose_to_landscape`` wrapper (dust3r/utils/misc.py:56-108)."""
+    portrait = cfg.portrait if portrait is None else portrait
     h, w = img_hw
+    if portrait:
+        h, w = w, h
     grid = (h // cfg.patch_size, w // cfg.patch_size)
     pts_conf = dpt_mod.dpt_apply(params_head["dpt"], hooks, grid)  # (B,H,W,4)
     local = dpt_mod.catmlp_apply(
         params_head["catmlp"], hooks[0], hooks[3], grid, cfg.patch_size, cfg.local_feat_dim, cfg.two_confs
     )  # (B,H,W,d+1)
     fmap = jnp.concatenate([pts_conf, local], axis=-1)
-    return dpt_mod.postprocess(fmap, cfg.local_feat_dim)
+    res = dpt_mod.postprocess(fmap, cfg.local_feat_dim)
+    return _transpose_res(res) if portrait else res
 
 
-def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_hw):
+def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_hw,
+                     portrait=None):
     """One decoder pass + both heads — the reference's ``decoder()``
     (mast3r_utils.py:56-72). Returns (res1, res2) dicts.
+
+    ``portrait`` applies the ``transpose_to_landscape`` head contract to
+    both views (see ``downstream_head``); both views must share the aspect.
 
     The DPT heads run SEQUENTIALLY: vmapping the conv-heavy DPT over stacked
     head weights lowers to looped/grouped convolutions that run ~6x slower
     than two plain passes (measured 16.9ms vmapped vs 2x2.6ms sequential on
     v5e). The cat-MLP heads are pure matmuls, which DO batch cleanly — they
     run as one vmapped pair."""
+    portrait = cfg.portrait if portrait is None else portrait
     hooks1, hooks2 = decode(params, cfg, f1, pos1, f2, pos2)
     h, w = img_hw
+    if portrait:
+        h, w = w, h
     grid = (h // cfg.patch_size, w // cfg.patch_size)
 
     pc1 = dpt_mod.dpt_apply(params["head1"]["dpt"], hooks1, grid)
@@ -263,14 +302,18 @@ def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_
     res2 = dpt_mod.postprocess(
         jnp.concatenate([pc2, local[1]], axis=-1), cfg.local_feat_dim
     )
+    if portrait:
+        res1, res2 = _transpose_res(res1), _transpose_res(res2)
     return res1, res2
 
 
-def inference(params: Params, cfg: MASt3RConfig, img1: jax.Array, img2: jax.Array):
-    """Full two-view forward (``dust3r/model.py:198-210``), images NHWC."""
-    f1, pos1 = encode_image(params, cfg, img1)
-    f2, pos2 = encode_image(params, cfg, img2)
-    return decode_and_heads(params, cfg, f1, pos1, f2, pos2, img1.shape[1:3])
+def inference(params: Params, cfg: MASt3RConfig, img1: jax.Array, img2: jax.Array,
+              portrait=None):
+    """Full two-view forward (``dust3r/model.py:198-210``), images NHWC
+    in landscape storage layout (transposed when ``portrait``)."""
+    f1, pos1 = encode_image(params, cfg, img1, portrait)
+    f2, pos2 = encode_image(params, cfg, img2, portrait)
+    return decode_and_heads(params, cfg, f1, pos1, f2, pos2, img1.shape[1:3], portrait)
 
 
 def stack_xcdq(res11: Dict, res21: Dict):

@@ -128,6 +128,70 @@ def test_full_inference_parity(ref_model, jax_params, imgs):
     )
 
 
+def test_portrait_inference_parity(ref_model, jax_params, imgs):
+    """Portrait images (true height > width): the reference stores them
+    transposed into landscape layout and routes them through
+    ``ManyAR_PatchEmbed`` (dust3r/patch_embed.py:43-71) +
+    ``transpose_to_landscape`` heads (dust3r/utils/misc.py:56-108). Our
+    static ``portrait=True`` flag must reproduce those activations
+    exactly (SURVEY.md section 7 hard-part 3)."""
+    from mast3r.model import AsymmetricMASt3R
+
+    torch.manual_seed(0)
+    ref_p = AsymmetricMASt3R(
+        output_mode="pts3d+desc24",
+        head_type="catmlp+dpt",
+        depth_mode=("exp", -float("inf"), float("inf")),
+        conf_mode=("exp", 1, float("inf")),
+        desc_conf_mode=("exp", 0, float("inf")),
+        two_confs=True,
+        landscape_only=True,
+        patch_embed_cls="ManyAR_PatchEmbed",
+        img_size=(H, W),
+        patch_size=CFG.patch_size,
+        enc_embed_dim=CFG.enc_embed_dim,
+        enc_depth=CFG.enc_depth,
+        enc_num_heads=CFG.enc_num_heads,
+        dec_embed_dim=CFG.dec_embed_dim,
+        dec_depth=CFG.dec_depth,
+        dec_num_heads=CFG.dec_num_heads,
+        pos_embed="RoPE100",
+    )
+    ref_p.load_state_dict(ref_model.state_dict())  # identical weights
+    ref_p = ref_p.eval()
+
+    img1, img2 = imgs  # landscape-layout storage of a WxH portrait image
+    with torch.no_grad():
+        shape = torch.tensor([[W, H]])  # true shape: portrait (height W > width H)
+        f1, p1, _ = ref_p._encode_image(_t(img1), shape)
+        f2, p2, _ = ref_p._encode_image(_t(img2), shape)
+        dec1, dec2 = ref_p._decoder(f1, p1, f2, p2)
+        res1_t = ref_p._downstream_head(1, [t.float() for t in dec1], shape)
+        res2_t = ref_p._downstream_head(2, [t.float() for t in dec2], shape)
+
+    f1_j, p1_j = mast3r.encode_image(jax_params, CFG, jnp.asarray(img1), portrait=True)
+    f2_j, p2_j = mast3r.encode_image(jax_params, CFG, jnp.asarray(img2), portrait=True)
+    np.testing.assert_allclose(np.asarray(p1_j), p1.numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(f1_j), f1.numpy(), rtol=1e-4, atol=2e-4)
+
+    res1_j, res2_j = mast3r.decode_and_heads(
+        jax_params, CFG, f1_j, p1_j, f2_j, p2_j, (H, W), portrait=True
+    )
+    assert res1_j["pts3d"].shape == (1, H, W, 3)  # back in landscape layout
+    np.testing.assert_allclose(
+        np.asarray(res1_j["pts3d"]), res1_t["pts3d"].numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res2_j["pts3d"]), res2_t["pts3d"].numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1_j["conf"]), res1_t["conf"].numpy(), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res1_j["desc"]), res1_t["desc"].numpy(), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_npz_roundtrip(jax_params, tmp_path):
     path = str(tmp_path / "params.npz")
     convert.save_npz(jax_params, path)
