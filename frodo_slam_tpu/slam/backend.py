@@ -335,25 +335,45 @@ class BackendGraph:
             store = frame_mod.kf_update_T_WCs(store, T_new[self.cfg.pin : p], free_slots)
         return store
 
-    def solve_GN_rays(self, store: KeyframeStore, s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
-        """Build the compacted pose window, run the jitted ray-alignment GN,
-        write poses back (global_opt.py:226-286)."""
+    def solve_window_rays(self, store: KeyframeStore,
+                          s_bar: Optional[np.ndarray] = None):
+        """Build the compacted pose window and run the jitted ray-alignment
+        GN (global_opt.py:226-286). Returns ``(uniq, p, T_new)`` — the solved
+        window without writing it back — so a threaded caller can merge the
+        poses into a store that advanced while the solve ran; ``None`` when
+        there is nothing to optimize."""
         win = self._build_window(store, s_bar)
         if win is None:
-            return store
+            return None
         uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb = win
         T_new = solve_gn_rays(self.cfg, self.cfg.pin, T_win, X_win, C_win, edges_win, odom_win, sb)
-        return self._write_back(store, uniq, p, T_new)
+        return uniq, p, T_new
 
-    def solve_GN_calib(self, store: KeyframeStore, K: jnp.ndarray,
-                       s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
-        """Calibrated pixel/log-depth global GN (global_opt.py:288-341):
-        points are constrained to their pixel rays first (:298-300)."""
+    def solve_window_calib(self, store: KeyframeStore, K: jnp.ndarray,
+                           s_bar: Optional[np.ndarray] = None):
+        """Calibrated pixel/log-depth global GN window solve
+        (global_opt.py:288-341): points are constrained to their pixel rays
+        first (:298-300). Same return contract as ``solve_window_rays``."""
         win = self._build_window(store, s_bar)
         if win is None:
-            return store
+            return None
         uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb = win
         X_win = geometry.constrain_points_to_ray(self.img_hw, X_win, K)
         T_new = solve_gn_calib(self.cfg, self.cfg.pin, self.img_hw, T_win,
                                X_win, C_win, jnp.asarray(K), edges_win, odom_win, sb)
-        return self._write_back(store, uniq, p, T_new)
+        return uniq, p, T_new
+
+    def solve_GN_rays(self, store: KeyframeStore, s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
+        """Window solve + immediate write-back (the serialized eval path)."""
+        out = self.solve_window_rays(store, s_bar)
+        if out is None:
+            return store
+        return self._write_back(store, *out)
+
+    def solve_GN_calib(self, store: KeyframeStore, K: jnp.ndarray,
+                       s_bar: Optional[np.ndarray] = None) -> KeyframeStore:
+        """Calibrated window solve + immediate write-back."""
+        out = self.solve_window_calib(store, K, s_bar)
+        if out is None:
+            return store
+        return self._write_back(store, *out)

@@ -70,6 +70,16 @@ class SLAM:
     ):
         self.cfg = cfg
         self.params = params
+        # portrait input (true height > width): store every image/map
+        # transposed into landscape layout and flag the model so its patch
+        # embed / heads transpose in and out (the reference's
+        # ManyAR_PatchEmbed + transpose_to_landscape contract,
+        # dust3r/patch_embed.py:43-71, dust3r/utils/misc.py:56-108). All
+        # SLAM-layer math (matching, GN, pointmaps) is orientation-agnostic.
+        self.portrait = img_hw[0] > img_hw[1]
+        if self.portrait:
+            img_hw = (img_hw[1], img_hw[0])
+            model_cfg = dataclasses.replace(model_cfg, portrait=True)
         self.model_cfg = model_cfg
         self.img_hw = img_hw
         self.hw = img_hw[0] * img_hw[1]
@@ -152,6 +162,7 @@ class SLAM:
         self._idx_f2k = None
         self._backend_lock = threading.Lock()
         self._backend_thread: Optional[threading.Thread] = None
+        self._map_epoch = 0  # bumped on reset(); stale backend merges are dropped
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -160,6 +171,8 @@ class SLAM:
         buffer, backend/retrieval cleared, mode back to INIT. The finished
         map is retained in ``self.atlas`` (the multi-map behavior of
         main.py:227-239: old keyframe buffers are kept for export)."""
+        self._join_backend()
+        self._map_epoch += 1
         if int(self.store.n_size) > 0:
             stamps, poses = self.keyframe_poses()
             self.atlas.append({"timestamps": stamps, "T_WC": poses})
@@ -182,19 +195,32 @@ class SLAM:
 
     def terminate(self):
         self.mode = Mode.TERMINATED
+        self._join_backend()
+
+    def _join_backend(self):
+        """Wait out an in-flight backend task (threaded mode)."""
         if self._backend_thread is not None:
             self._backend_thread.join(timeout=30.0)
+            self._backend_thread = None
 
     # -- frame path ----------------------------------------------------------
 
     def preprocess(self, img: np.ndarray) -> np.ndarray:
-        """Host preprocessing: resize/normalize to the network input. Exposed
-        so a PrefetchLoader can run it (and the device upload) ahead of time."""
-        h, w = self.img_hw
-        if img.shape[:2] != (h, w):
-            return resize_img(img, max(self.img_hw))["img"]
-        arr = (img.astype(np.float32) - 0.5) / 0.5 if img.max() <= 1.0 else img
-        return arr[None] if arr.ndim == 3 else arr
+        """Host preprocessing: resize/normalize to the network input (and
+        transpose portrait frames into the landscape storage layout).
+        Exposed so a PrefetchLoader can run it (and the device upload)
+        ahead of time."""
+        h, w = self.img_hw  # landscape storage shape
+        true_shape = (w, h) if self.portrait else (h, w)
+        normalized = False
+        if img.shape[:2] != true_shape and img.shape[:2] != (h, w):
+            img = resize_img(img, max(self.img_hw))["img"][0]  # ImgNorm'd
+            normalized = True
+        if self.portrait and img.shape[:2] == true_shape:
+            img = np.swapaxes(img, 0, 1)
+        if not normalized:
+            img = (img.astype(np.float32) - 0.5) / 0.5 if img.max() <= 1.0 else img
+        return img[None] if img.ndim == 3 else img
 
     def _make_frame(self, img, T_WC) -> frame_mod.Frame:
         if isinstance(img, jax.Array) and img.ndim == 4:
@@ -311,50 +337,97 @@ class SLAM:
 
     # -- backend ---------------------------------------------------------------
 
-    def _solve_backend(self, s_bar=None):
-        """Dispatch the global solve: calibrated pixel/log-depth GN when a
-        calibration is in use, ray-alignment GN otherwise (vio.py:154-157)."""
+    def _solve_window(self, store, s_bar=None):
+        """Dispatch the global window solve: calibrated pixel/log-depth GN
+        when a calibration is in use, ray-alignment GN otherwise
+        (vio.py:154-157). Returns (uniq, p, T_new) or None."""
         if self.tcfg.use_calib and self.K is not None:
-            return self.backend.solve_GN_calib(self.store, self.K, s_bar)
-        return self.backend.solve_GN_rays(self.store, s_bar)
+            return self.backend.solve_window_calib(store, self.K, s_bar)
+        return self.backend.solve_window_rays(store, s_bar)
+
+    def _solve_backend(self, s_bar=None):
+        """Serialized solve + write-back on the live store."""
+        win = self._solve_window(self.store, s_bar)
+        if win is None:
+            return self.store
+        return self.backend._write_back(self.store, *win)
+
+    def _height_prior_s_bar(self, store):
+        """Per-keyframe metric-scale targets from the ground-plane fit
+        (global_opt.py:212-224)."""
+        if not self.height_prior_enabled:
+            return None
+        uniq = self.backend.unique_kf_idx()
+        if not uniq:
+            return None
+        slots = [k % store.capacity for k in uniq]
+        pm = [np.asarray(store.X_canon[s]) for s in slots]
+        sb = scale_targets(self.plane_estimator, pm, self.img_hw, self.camera_height)
+        s_bar = np.full(max(uniq) + 1, -1.0, np.float32)
+        for k, v in zip(uniq, sb):
+            s_bar[k] = v
+        return s_bar
 
     def _backend_step(self, idx: int, odom_factor):
-        """One backend task (run_backend loop body, vio.py:109-157)."""
-        with self._backend_lock:
-            kf_idx: List[int] = [idx - 1 - j for j in range(min(1, idx))]
-            if self.retrieval is not None:
-                slot = int(idx) % self.store.capacity
-                feat = self.store.feat[slot][None]
-                retrieved = self.retrieval.update(
-                    feat, add_after_query=True, k=int(self.cfg.retrieval.k),
-                    min_thresh=float(self.cfg.retrieval.min_thresh),
-                )
-                kf_idx += retrieved
-            kf_set = set(kf_idx)
-            kf_set.discard(idx)
-            kf_list = sorted(kf_set)
-            if kf_list:
-                self.backend.add_factors(self.store, kf_list, [idx] * len(kf_list))
-            if odom_factor is not None:
-                self.backend.add_odometry_factors(*odom_factor)
+        """One backend task (run_backend loop body, vio.py:109-157).
 
-            s_bar = None
-            if self.height_prior_enabled:
-                uniq = self.backend.unique_kf_idx()
-                if uniq:
-                    slots = [k % self.store.capacity for k in uniq]
-                    pm = [np.asarray(self.store.X_canon[s]) for s in slots]
-                    sb = scale_targets(self.plane_estimator, pm, self.img_hw, self.camera_height)
-                    s_bar = np.full(max(uniq) + 1, -1.0, np.float32)
-                    for k, v in zip(uniq, sb):
-                        s_bar[k] = v
-            self.store = self._solve_backend(s_bar)
-            self.current_T_WC = np.asarray(self.store.T_WC[self.store.last_slot()])
-            # the backend moved the last keyframe's pose: refresh the
-            # streaming active-KF state (global_opt.py:285-286 analogue)
-            self.active_kf = dataclasses.replace(
-                self.active_kf, T_WC=self.store.T_WC[self.store.last_slot()]
+        Threaded mode works on a SNAPSHOT of the keyframe store (jax arrays
+        are immutable, so a snapshot is just capturing the pytree reference)
+        and merges the solved window poses back under the lock at the end —
+        the frontend keeps tracking through the whole retrieval + decode +
+        solve, reproducing the reference's genuine frontend/backend
+        concurrency (vio.py:75-161) without shared-memory mirrors. In
+        single_thread mode the same code runs on the frontend thread, where
+        snapshot == live store, reproducing the serialized eval contract."""
+        with self._backend_lock:
+            store = self.store  # snapshot (immutable pytree)
+            epoch = self._map_epoch
+
+        kf_idx: List[int] = [idx - 1 - j for j in range(min(1, idx))]
+        if self.retrieval is not None:
+            slot = int(idx) % store.capacity
+            feat = store.feat[slot][None]
+            retrieved = self.retrieval.update(
+                feat, add_after_query=True, k=int(self.cfg.retrieval.k),
+                min_thresh=float(self.cfg.retrieval.min_thresh),
             )
+            kf_idx += retrieved
+        kf_set = set(kf_idx)
+        kf_set.discard(idx)
+        kf_list = sorted(kf_set)
+        if kf_list:
+            self.backend.add_factors(store, kf_list, [idx] * len(kf_list))
+        if odom_factor is not None:
+            self.backend.add_odometry_factors(*odom_factor)
+
+        win = self._solve_window(store, self._height_prior_s_bar(store))
+        if win is None:
+            return
+        uniq, p, T_new = win
+
+        with self._backend_lock:
+            if epoch != self._map_epoch:
+                return  # the map was reset while we solved: drop the result
+            pin = self.ba_cfg.pin
+            live_total = int(self.store.n_total)
+            live_oldest = max(0, live_total - self.store.capacity)
+            free = [(n, k) for n, k in enumerate(uniq[:p])
+                    if n >= pin and live_oldest <= k < live_total]
+            if free:
+                rows = jnp.asarray([n for n, _ in free])
+                slots = jnp.asarray([k % self.store.capacity for _, k in free])
+                self.store = frame_mod.kf_update_T_WCs(self.store, T_new[rows], slots)
+            # the backend moved the newest keyframe's pose: refresh the
+            # streaming active-KF state so the next track uses it
+            # (global_opt.py:285-286 analogue). In threaded mode the newest
+            # live keyframe may postdate the snapshot; only merge when it was
+            # actually part of the solved window.
+            n_latest = len(self.kf_timestamps) - 1
+            if n_latest in uniq[:p]:
+                w = uniq.index(n_latest)
+                self.active_kf = dataclasses.replace(self.active_kf, T_WC=T_new[w])
+                if self.single_thread or n_latest == idx:
+                    self.current_T_WC = np.asarray(T_new[w])
 
     def _run_backend(self, idx: int, odom_factor):
         if self.single_thread:
@@ -371,6 +444,9 @@ class SLAM:
 
     def _relocalize(self, frame: frame_mod.Frame, timestamp: float) -> bool:
         """Retrieval-seeded relocalization (vio.py:29-72)."""
+        # runs on the frontend thread and mutates backend/retrieval state:
+        # wait out any in-flight backend task first
+        self._join_backend()
         with self._backend_lock:
             retrieved = self.retrieval.update(
                 frame.feat, add_after_query=False, k=int(self.cfg.retrieval.k),

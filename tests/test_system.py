@@ -168,6 +168,101 @@ def test_slam_threaded_backend(tiny_model):
     assert np.all(np.isfinite(poses))
 
 
+def test_slam_threaded_backend_overlaps_tracking(tiny_model):
+    """The frontend must keep tracking while a backend solve is in flight
+    (the reference's frontend/backend process concurrency, vio.py:75-161):
+    with an artificially slow solve, frames tracked during the solve prove
+    the lock no longer serializes them, and the solved poses still merge
+    back into the live store."""
+    import threading
+    import time as _time
+
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8},
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=False)
+
+    solve_started = threading.Event()
+    solve_finished = threading.Event()
+    real_solve = slam.backend.solve_window_rays
+
+    def slow_solve(store, s_bar=None):
+        solve_started.set()
+        _time.sleep(1.5)  # a long backend solve
+        out = real_solve(store, s_bar)
+        solve_finished.set()
+        return out
+
+    slam.backend.solve_window_rays = slow_solve
+
+    import dataclasses as _dc
+
+    img = _img(0)
+    ok, _, _ = slam.grab_rgb(img, timestamp=0.0)  # init keyframe
+
+    # pre-warm the no-keyframe tracking program (match_frac_thresh=0.0 is a
+    # different static program; compiling it inside the timed window would
+    # mask the overlap being measured)
+    slam.tcfg = slam.tcfg._replace(match_frac_thresh=0.0)
+    ok, _, new_kf = slam.grab_rgb(img, timestamp=1.0)
+    assert ok and not new_kf
+
+    # force one keyframe -> backend task with the slow solve
+    slam.tcfg = slam.tcfg._replace(match_frac_thresh=1.1)
+    ok, _, new_kf = slam.grab_rgb(img, timestamp=2.0)
+    assert ok and new_kf
+    assert solve_started.wait(timeout=30.0)
+
+    # frames tracked WHILE the 1.5s solve is in flight (thresh back to 0.0:
+    # no new keyframes, so the frontend never joins the backend thread)
+    slam.tcfg = slam.tcfg._replace(match_frac_thresh=0.0)
+    tracked_during_solve = 0
+    t0 = _time.time()
+    while not solve_finished.is_set() and _time.time() - t0 < 15.0:
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=_time.time())
+        assert ok and not new_kf and np.all(np.isfinite(pose))
+        if not solve_finished.is_set():
+            tracked_during_solve += 1
+    assert tracked_during_solve >= 1, "frontend blocked for the whole backend solve"
+    assert solve_finished.is_set(), "backend solve never completed"
+
+    slam.terminate()
+    assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
+
+
+def test_slam_portrait_input(tiny_model):
+    """Portrait video (true height > width): the system transposes frames
+    into landscape storage and flags the model's ManyAR/transpose-to-
+    landscape path (dust3r/patch_embed.py:43-71, utils/misc.py:56-108);
+    tracking must run its success path end to end."""
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8},
+    )
+    slam = SLAM(cfg, params, mcfg, (W, H), retrieval_db=None,  # H>W: portrait
+                use_backend=True, use_reloc=False, single_thread=True)
+    assert slam.portrait and slam.img_hw == (H, W)  # landscape storage
+    assert slam.model_cfg.portrait
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (W, H, 3)).astype(np.float32)  # portrait frame
+    for i in range(3):
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(i))
+        assert ok and np.all(np.isfinite(pose))
+        np.testing.assert_allclose(pose[:3], 0.0, atol=5e-2)
+    stamps, poses = slam.keyframe_poses()
+    assert np.all(np.isfinite(poses))
+    slam.terminate()
+
+
 def test_slam_relocalization_recovers_before_reset(tiny_model):
     """Reloc flow (vio.py:29-72): after keyframes exist, a garbage frame
     fails tracking, and a good frame relocalizes against the retrieval
