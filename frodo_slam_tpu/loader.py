@@ -82,7 +82,9 @@ def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
                                       hdims=[min(1024, model_cfg.enc_embed_dim)], nfeat=300)
     dim = 1024 if head.params["projector"]["final"] is None else head.params["projector"]["final"]["w"].shape[1]
     cb = Codebook.random(np.random.default_rng(0), 4096, int(dim))
-    return RetrievalDatabase(head, cb)
+    # degraded=True: eval runs must record the random fallback (VERDICT:
+    # numbers with random loop closures must never look like real ones)
+    return RetrievalDatabase(head, cb, degraded=True)
 
 
 def _cli_convert(argv):

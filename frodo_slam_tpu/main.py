@@ -90,10 +90,32 @@ def run(args) -> dict:
             fps_t0, fps_count = time.time(), 0
     slam.terminate()
 
-    out = {}
+    retrieval_mode = (
+        "none" if retrieval is None
+        else ("random-fallback" if getattr(retrieval, "degraded", False) else "real")
+    )
+    if retrieval_mode == "random-fallback":
+        print("WARNING: retrieval is running on RANDOM fallback assets — "
+              "loop closures are meaningless; pass --no-retrieval or provide "
+              "the trained retrieval checkpoint+codebook")
+
+    out = {"retrieval": retrieval_mode}
     if args.save_as and getattr(dataset, "save_results", True):
         seq = pathlib.Path(args.dataset).name or "seq"
         logdir = pathlib.Path("logs") / args.save_as
+        logdir.mkdir(parents=True, exist_ok=True)
+        import json
+
+        meta = {
+            "sequence": seq,
+            "config": str(args.config),
+            "use_calib": bool(cfg["use_calib"]),
+            "retrieval": retrieval_mode,  # honest degraded-mode record
+            "frames": slam.frame_count,
+            "keyframes": int(slam.store.n_size),
+        }
+        with open(logdir / f"{seq}.meta.json", "w") as f:
+            json.dump(meta, f, indent=1)
         stamps, poses = slam.keyframe_poses()
         traj = evaluate.save_traj(logdir, f"{seq}.txt", stamps, poses)
         out["traj"] = str(traj)

@@ -26,9 +26,14 @@ SIM_THRESHOLD = 0.0
 
 
 class RetrievalDatabase:
-    def __init__(self, head: RetrievalHead, codebook: Codebook):
+    def __init__(self, head: RetrievalHead, codebook: Codebook,
+                 degraded: bool = False):
         self.head = head
         self.codebook = codebook
+        # True when running on a random head/codebook fallback (no trained
+        # retrieval assets): loop closures are then meaningless, and eval
+        # runs must record it (loader.py marks this)
+        self.degraded = degraded
         self.dim_bits = codebook.dim
         self.ivf = InvertedFile(codebook.size, self.dim_bits)
         self.kf_counter = 0

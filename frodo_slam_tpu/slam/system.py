@@ -144,8 +144,15 @@ class SLAM:
         self.pgo = make_pose_graph(int(cfg.tpu.max_keyframes))
         hp = cfg.height_prior
         self.height_prior_enabled = bool(hp.enabled)
+        rect = hp.get("rect", None)
+        corners = None
+        if rect:
+            (x0, y0), (x1, y1) = rect
+            corners = ((int(x0), int(y0)), (int(x1), int(y1)))
         self.plane_estimator = RectanglePlaneEstimator(
+            corners=corners,
             max_tilt_deg=float(hp.tilt_max_deg), ransac_iterations=int(hp.ransac_iters),
+            inlier_thresh=float(hp.get("dist_thresh", 0.04)),
         )
         self.camera_height = float(hp.camera_height)
 

@@ -62,6 +62,44 @@ def test_height_prior_plane():
     assert est.run(Xt.reshape(-1, 3), (h, w)) is None
 
 
+def test_height_prior_configured_rect():
+    """The yaml-exposed rectangle (config height_prior.rect) must gate which
+    pixels feed the plane fit: a mildly tilted ground plane inside the band
+    plus garbage outside must recover the band's height; the same estimator
+    with a full-image rectangle must fail on the garbage."""
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.slam.height_prior import RectanglePlaneEstimator
+
+    h, w = 32, 48
+    rng = np.random.default_rng(3)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    z = 2 + vv / 10
+    # ground plane at height 0.5 with a ~1.1 degree forward tilt (within the
+    # 5-degree gate): y = 0.5 + 0.02 z  ->  -d/b == 0.5 exactly
+    X = np.stack([(uu - w / 2) / 10, 0.5 + 0.02 * z, z], axis=-1)
+    X += rng.normal(size=X.shape) * 0.002
+    rect = ((8, 20), (40, 31))  # the "ground band"
+    (x0, y0), (x1, y1) = rect
+    outside = np.ones((h, w), bool)
+    outside[y0 : y1 + 1, x0 : x1 + 1] = False
+    X[outside] = rng.normal(size=(outside.sum(), 3)) * 3.0  # non-planar clutter
+
+    est = RectanglePlaneEstimator(corners=rect, min_inliers=50, ransac_iterations=300)
+    height = est.run(X.reshape(-1, 3), (h, w))
+    assert height is not None
+    # 3-point RANSAC without inlier refit: the fitted tilt can be off by
+    # ~0.01 rad, shifting -d/b by tilt_err * mean_z (~0.03 here)
+    np.testing.assert_allclose(height, 0.5, atol=0.06)
+
+    est_full = RectanglePlaneEstimator(corners=((0, 0), (w - 1, h - 1)),
+                                       min_inliers=600, ransac_iterations=300)
+    assert est_full.run(X.reshape(-1, 3), (h, w)) is None
+
+    # the yaml knob flows through make_config
+    cfg = make_config(height_prior={"rect": [[8, 20], [40, 31]]})
+    assert list(map(list, cfg.height_prior.rect)) == [[8, 20], [40, 31]]
+
+
 def test_wheel_odometry_straight_and_spin():
     from frodo_slam_tpu.slam.odometry import WheelOdometryIntegrator, pos_yaw_to_se3
 
