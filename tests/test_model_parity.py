@@ -192,6 +192,82 @@ def test_portrait_inference_parity(ref_model, jax_params, imgs):
     )
 
 
+def test_converter_full_vitl_key_coverage():
+    """Checkpoint-converter confidence at the REAL ViT-L scale without the
+    1.4GB weights: instantiate the reference model structurally on torch's
+    meta device (shapes only), fabricate a zero state dict at those shapes,
+    and assert the converter (a) consumes every parameter key and (b) emits
+    exactly the pytree (structure + shapes + dtypes) that our
+    ``init_params`` produces at the full config (checked via
+    ``jax.eval_shape`` — no 2.7GB allocation on the JAX side)."""
+    from mast3r.model import AsymmetricMASt3R
+
+    full = mast3r.MASt3RConfig()
+    with torch.device("meta"):
+        ref = AsymmetricMASt3R(
+            output_mode="pts3d+desc24",
+            head_type="catmlp+dpt",
+            depth_mode=("exp", -float("inf"), float("inf")),
+            conf_mode=("exp", 1, float("inf")),
+            desc_conf_mode=("exp", 0, float("inf")),
+            two_confs=True,
+            landscape_only=True,
+            patch_embed_cls="ManyAR_PatchEmbed",
+            img_size=(512, 512),
+            patch_size=full.patch_size,
+            enc_embed_dim=full.enc_embed_dim,
+            enc_depth=full.enc_depth,
+            enc_num_heads=full.enc_num_heads,
+            dec_embed_dim=full.dec_embed_dim,
+            dec_depth=full.dec_depth,
+            dec_num_heads=full.dec_num_heads,
+            pos_embed="RoPE100",
+        )
+    shapes = {k: tuple(v.shape) for k, v in ref.state_dict().items()}
+    assert len(shapes) > 500  # the real checkpoint's key inventory
+
+    class TrackingSD(dict):
+        def __init__(self, data):
+            super().__init__(data)
+            self.accessed = set()
+
+        def __getitem__(self, k):
+            self.accessed.add(k)
+            return super().__getitem__(k)
+
+    sd = TrackingSD({k: np.zeros(s, np.float32) for k, s in shapes.items()})
+    params = convert.convert_state_dict(sd, full)
+
+    unused = set(shapes) - sd.accessed
+    # Known-benign leftovers:
+    # - scratch.layer_rn.N are state-dict ALIASES of scratch.layer{N+1}_rn
+    #   (the same conv modules registered twice, croco dpt_block.py:70-75);
+    #   the converter reads the layer{N+1}_rn names — assert it did.
+    # - mask_token is a CroCo masked-pretraining parameter, unused in
+    #   inference (croco.py:182 only touches it when masks are passed).
+    for k in list(unused):
+        if ".scratch.layer_rn." in k:
+            n = int(k.split(".layer_rn.")[1].split(".")[0])
+            alias = k.replace(f".layer_rn.{n}.", f".layer{n + 1}_rn.")
+            assert alias in sd.accessed, f"{k}: alias {alias} not consumed"
+            unused.discard(k)
+    unused.discard("mask_token")
+    assert not unused, f"converter dropped {len(unused)} keys: {sorted(unused)[:10]}"
+
+    # exact pytree match against init_params at the full config
+    template = jax.eval_shape(
+        lambda k: mast3r.init_params(k, full), jax.random.PRNGKey(0)
+    )
+    got_kp, got_def = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.float32), params)
+    )
+    want_kp, want_def = jax.tree_util.tree_flatten_with_path(template)
+    assert got_def == want_def
+    for (kp_g, g), (kp_w, wv) in zip(got_kp, want_kp):
+        assert kp_g == kp_w
+        assert g.shape == wv.shape, f"{kp_g}: {g.shape} vs {wv.shape}"
+
+
 def test_npz_roundtrip(jax_params, tmp_path):
     path = str(tmp_path / "params.npz")
     convert.save_npz(jax_params, path)
