@@ -78,6 +78,13 @@ def run(args) -> dict:
         single_thread=bool(cfg["single_thread"]), mesh=mesh,
     )
 
+    viewer = None
+    if getattr(args, "viz", False):
+        from .viz.web import WebViewer
+
+        viewer = WebViewer(slam, port=int(getattr(args, "viz_port", 8090))).start()
+        print(f"live viewer: http://127.0.0.1:{viewer.port}/")
+
     from .data.prefetch import PrefetchLoader
 
     loader = PrefetchLoader(dataset, slam.preprocess, depth=3, max_frames=args.max_frames)
@@ -89,6 +96,8 @@ def run(args) -> dict:
             print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")
             fps_t0, fps_count = time.time(), 0
     slam.terminate()
+    if viewer is not None:
+        viewer.stop()
 
     retrieval_mode = (
         "none" if retrieval is None
@@ -136,6 +145,9 @@ def build_parser():
     p.add_argument("--calib", default=None)
     p.add_argument("--save-as", dest="save_as", default=None)
     p.add_argument("--no-viz", action="store_true", default=True)
+    p.add_argument("--viz", action="store_true",
+                   help="serve the live WebGL map viewer (viz/web.py)")
+    p.add_argument("--viz-port", type=int, default=8090)
     p.add_argument("--weights", default=None)
     p.add_argument("--no-retrieval", action="store_true")
     p.add_argument("--max-frames", type=int, default=None)

@@ -58,6 +58,7 @@ def run_dataset(args):
     retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
 
     slam = None
+    viewer = None
     i = 0
     fps_t0, fps_count = time.time(), 0
     while True:
@@ -80,6 +81,11 @@ def run_dataset(args):
                         use_backend=True, use_reloc=retrieval is not None,
                         single_thread=bool(cfg["single_thread"]),
                         local_opt_mode=args.use_odometry, mesh=default_mesh())
+            if args.visualize:
+                from .viz.web import WebViewer
+
+                viewer = WebViewer(slam).start()
+                print(f"live viewer: http://127.0.0.1:{viewer.port}/")
         slam.grab_rgb(img, timestamp=ts, odom_pose=odom_pose)
         fps_count += 1
         if fps_count == 30:
@@ -87,6 +93,8 @@ def run_dataset(args):
             fps_t0, fps_count = time.time(), 0
     if slam is not None:
         slam.terminate()
+    if viewer is not None:
+        viewer.stop()
     return slam
 
 
@@ -128,6 +136,11 @@ def run_robot(args):  # pragma: no cover - hardware
                             use_backend=True, use_reloc=retrieval is not None,
                             single_thread=False, local_opt_mode=True,
                             mesh=default_mesh())
+                if args.visualize:
+                    from .viz.web import WebViewer
+
+                    viewer = WebViewer(slam).start()  # noqa: F841
+                    print(f"live viewer: http://127.0.0.1:{viewer.port}/")
             slam.grab_rgb(img, timestamp=ts,
                           odom_pose=odom_pose if args.use_odometry else None)
     finally:

@@ -100,6 +100,64 @@ def test_height_prior_configured_rect():
     assert list(map(list, cfg.height_prior.rect)) == [[8, 20], [40, 31]]
 
 
+def test_web_viewer_serves_state():
+    """Live web viewer (viz/web.py): serves the viewer page, a state.json
+    with poses/edges, and the packed world-point buffer — the reference GL
+    viewer's data contract (visualization.py:73-600) over HTTP."""
+    import dataclasses
+    import json
+    import types
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from frodo_slam_tpu.slam import frame as frame_mod
+    from frodo_slam_tpu.viz.web import WebViewer
+
+    hw = 16
+    store = frame_mod.make_keyframe_store(4, hw, 2, 8)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-1, 1, (2, hw, 3)), jnp.float32)
+    store = dataclasses.replace(
+        store,
+        X_canon=store.X_canon.at[:2].set(X),
+        C=store.C.at[:2].set(5.0),
+        N=store.N.at[:2].set(1),
+        n_size=jnp.asarray(2, jnp.int32),
+        n_total=jnp.asarray(2, jnp.int32),
+    )
+    slam = types.SimpleNamespace(
+        store=store, frame_count=7,
+        backend=types.SimpleNamespace(_pairs=[(0, 1)]),
+    )
+    v = WebViewer(slam, port=0, interval_s=0.05)  # port 0: pick a free one
+    v.start()
+    try:
+        port = v._server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        html = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"frodo-slam-tpu live map" in html
+
+        deadline = 20
+        import time as _t
+        st = {}
+        for _ in range(deadline * 20):
+            st = json.loads(urllib.request.urlopen(base + "/state.json", timeout=10).read())
+            if st["version"] > 0:
+                break
+            _t.sleep(0.05)
+        assert st["n_kf"] == 2 and st["frames"] == 7
+        assert st["edges"] == [[0, 1]]
+        assert len(st["T_WC"]) == 2 and len(st["T_WC"][0]) == 8
+
+        buf = urllib.request.urlopen(base + "/points.bin", timeout=10).read()
+        pts = np.frombuffer(buf, np.float32).reshape(-1, 4)
+        assert len(pts) == 2 * hw  # all points above the conf threshold
+        assert np.isfinite(pts).all()
+    finally:
+        v.stop()
+
+
 def test_wheel_odometry_straight_and_spin():
     from frodo_slam_tpu.slam.odometry import WheelOdometryIntegrator, pos_yaw_to_se3
 
