@@ -64,6 +64,10 @@ class MASt3RConfig:
     dpt_feature_dim: int = 256
     dpt_layer_dims: Tuple[int, ...] = (96, 192, 384, 768)
     dtype: Any = jnp.bfloat16  # encoder/decoder compute dtype
+    # head compute dtype. f32 is the reference contract
+    # (dust3r/model.py:205-207); bf16 halves the DPT conv cost on the MXU
+    # at a small numeric deviation (validated vs f32 by test_model_parity)
+    head_dtype: Any = jnp.float32
     attention_impl: str = "xla"  # "xla" | "pallas" (TPU flash-attention kernel)
     # portrait inputs (true height > width) are stored transposed into
     # landscape layout and flagged here; the patch embed / heads transpose
@@ -252,11 +256,12 @@ def downstream_head(params_head: Params, cfg: MASt3RConfig, hooks: List[jax.Arra
     if portrait:
         h, w = w, h
     grid = (h // cfg.patch_size, w // cfg.patch_size)
+    hooks = [t.astype(cfg.head_dtype) for t in hooks]
     pts_conf = dpt_mod.dpt_apply(params_head["dpt"], hooks, grid)  # (B,H,W,4)
     local = dpt_mod.catmlp_apply(
         params_head["catmlp"], hooks[0], hooks[3], grid, cfg.patch_size, cfg.local_feat_dim, cfg.two_confs
     )  # (B,H,W,d+1)
-    fmap = jnp.concatenate([pts_conf, local], axis=-1)
+    fmap = jnp.concatenate([pts_conf, local], axis=-1).astype(jnp.float32)
     res = dpt_mod.postprocess(fmap, cfg.local_feat_dim)
     return _transpose_res(res) if portrait else res
 
@@ -280,6 +285,8 @@ def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_
     if portrait:
         h, w = w, h
     grid = (h // cfg.patch_size, w // cfg.patch_size)
+    hooks1 = [t.astype(cfg.head_dtype) for t in hooks1]
+    hooks2 = [t.astype(cfg.head_dtype) for t in hooks2]
 
     pc1 = dpt_mod.dpt_apply(params["head1"]["dpt"], hooks1, grid)
     pc2 = dpt_mod.dpt_apply(params["head2"]["dpt"], hooks2, grid)
@@ -297,10 +304,12 @@ def decode_and_heads(params: Params, cfg: MASt3RConfig, f1, pos1, f2, pos2, img_
     )(cat_p, enc, dec)
 
     res1 = dpt_mod.postprocess(
-        jnp.concatenate([pc1, local[0]], axis=-1), cfg.local_feat_dim
+        jnp.concatenate([pc1, local[0]], axis=-1).astype(jnp.float32),
+        cfg.local_feat_dim,
     )
     res2 = dpt_mod.postprocess(
-        jnp.concatenate([pc2, local[1]], axis=-1), cfg.local_feat_dim
+        jnp.concatenate([pc2, local[1]], axis=-1).astype(jnp.float32),
+        cfg.local_feat_dim,
     )
     if portrait:
         res1, res2 = _transpose_res(res1), _transpose_res(res2)

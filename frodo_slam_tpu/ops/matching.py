@@ -243,6 +243,7 @@ def refine_matches_shift(
     radius: int = 3,
     dilation_max: int = 5,
     dtype=jnp.bfloat16,
+    center_desc=None,
 ):
     """Coarse-to-fine dilated descriptor search, scatter+shift formulation.
 
@@ -272,9 +273,12 @@ def refine_matches_shift(
     v0 = p1[..., 1].astype(jnp.int32)
     neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.float32)
     # seed with the center probe (the (0,0) offset of every reference
-    # window) via one direct gather — collision losers keep at least this
-    flat = D11.reshape(b, hw, f)
-    center_desc = jnp.take_along_axis(flat, (v0 * w + u0)[..., None], axis=1)
+    # window) via one direct gather — collision losers keep at least this.
+    # The caller may pass the pre-gathered rows (match() folds this into
+    # its occlusion-check gather: 147k-row gathers cost ~2.5ms each on TPU)
+    if center_desc is None:
+        flat = D11.reshape(b, hw, f)
+        center_desc = jnp.take_along_axis(flat, (v0 * w + u0)[..., None], axis=1)
     # seed in the compute dtype like the window probes so scores compare
     max_score = jnp.einsum(
         "bnf,bnf->bn",
@@ -373,12 +377,27 @@ def refine_matches_shift(
 refine_matches = refine_matches_shift
 
 
+def _refine_dispatch(impl: str):
+    """Select the refine implementation. ``pallas`` runs the TPU correlation
+    kernel (ops/refine_pallas.py) — on non-TPU backends it falls back to the
+    interpreter so tests/CPU runs stay correct."""
+    if impl == "gather":
+        return refine_matches_gather
+    if impl == "pallas":
+        from .refine_pallas import refine_matches_pallas
+
+        interpret = jax.default_backend() not in ("tpu",)
+        return partial(refine_matches_pallas, interpret=interpret)
+    return refine_matches_shift
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "max_iter",
         "radius",
         "dilation_max",
+        "refine_impl",
     ),
 )
 def match(
@@ -395,6 +414,7 @@ def match(
     radius: int = 3,
     dilation_max: int = 5,
     ft_matching_threshold: float = 0.8,
+    refine_impl: str = "shift",
 ):
     """Full matcher (match_iterative_proj, matching.py:52-92).
 
@@ -416,17 +436,27 @@ def match(
     )
     p1 = jnp.floor(p1).astype(jnp.int32)  # torch .long() truncation
 
-    # Occlusion gate: 3D distance between matched points (matching.py:71-76)
+    # Occlusion gate: 3D distance between matched points (matching.py:71-76).
+    # The refine step needs the descriptor rows at the same centers — fold
+    # both lookups into ONE row gather (147k-row gathers cost ~2.5ms each
+    # on TPU regardless of row width)
     X11_flat = X11.reshape(b, h * w, 3)
-    matched = jnp.take_along_axis(
-        X11_flat, pixel_to_lin(p1, w)[..., None], axis=1
-    )
+    lin = pixel_to_lin(p1, w)[..., None]
+    center_desc = None
+    if radius > 0 and refine_impl != "gather":
+        packed = jnp.concatenate([X11_flat, D11.reshape(b, h * w, -1)], axis=-1)
+        rows = jnp.take_along_axis(packed, lin, axis=1)
+        matched, center_desc = rows[..., :3], rows[..., 3:]
+    else:
+        matched = jnp.take_along_axis(X11_flat, lin, axis=1)
     dists2 = jnp.linalg.norm(matched - X21.reshape(b, h * w, 3), axis=-1)
     valid_proj2 = valid_proj2 & (dists2 < dist_thresh)
 
     if radius > 0:
-        p1, scores = refine_matches(
-            D11, D21.reshape(b, h * w, -1), p1, radius=radius, dilation_max=dilation_max
+        kw = {} if refine_impl == "gather" else {"center_desc": center_desc}
+        p1, scores = _refine_dispatch(refine_impl)(
+            D11, D21.reshape(b, h * w, -1), p1, radius=radius,
+            dilation_max=dilation_max, **kw
         )
         valid_proj2 = valid_proj2 & (scores > ft_matching_threshold)
 
