@@ -380,14 +380,19 @@ refine_matches = refine_matches_shift
 def _refine_dispatch(impl: str):
     """Select the refine implementation. ``pallas`` runs the TPU correlation
     kernel (ops/refine_pallas.py) — on non-TPU backends it falls back to the
-    interpreter so tests/CPU runs stay correct."""
+    interpreter so tests/CPU runs stay correct. ``auto`` (the config
+    default) picks pallas on TPU and shift elsewhere: equal match quality
+    (equal mean refined scores, measured), not bit-identical — collision
+    winners and near-tie picks can differ (bf16 vs f32 probe rounding)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "auto":
+        impl = "pallas" if on_tpu else "shift"
     if impl == "gather":
         return refine_matches_gather
     if impl == "pallas":
         from .refine_pallas import refine_matches_pallas
 
-        interpret = jax.default_backend() not in ("tpu",)
-        return partial(refine_matches_pallas, interpret=interpret)
+        return partial(refine_matches_pallas, interpret=not on_tpu)
     return refine_matches_shift
 
 
@@ -414,7 +419,7 @@ def match(
     radius: int = 3,
     dilation_max: int = 5,
     ft_matching_threshold: float = 0.8,
-    refine_impl: str = "shift",
+    refine_impl: str = "auto",
 ):
     """Full matcher (match_iterative_proj, matching.py:52-92).
 

@@ -204,7 +204,7 @@ def refine_matches_pallas(
     """
     b, h, w, f = D11.shape
     hw = h * w
-    assert f + 2 <= F_PAD, f
+    assert f + 3 <= F_PAD, f
 
     u0 = p1[..., 0].astype(jnp.int32)
     v0 = p1[..., 1].astype(jnp.int32)
@@ -231,12 +231,18 @@ def refine_matches_pallas(
         ),
     )
 
-    # query descriptors + packed query id (int32 -> 2 bf16 lanes, bit-exact)
+    # query descriptors + packed query id. The id rides as THREE base-256
+    # digit channels (values 0..255, exactly representable in bf16): a
+    # bitcast encoding is NOT safe here — TPU XLA canonicalizes bf16 NaN
+    # bit patterns during data movement (scatter/transpose/select), which
+    # silently corrupted ids whose low half looked like a NaN.
     D21c = D21.astype(dtype)
     qid = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
-    qid2 = jax.lax.bitcast_convert_type(qid[..., None], dtype).reshape(b, hw, 2)
-    pad_q = jnp.zeros((b, hw, F_PAD - f - 2), dtype)
-    payload = jnp.concatenate([D21c, qid2, pad_q], axis=-1)  # (b, hw, F_PAD)
+    qid3 = jnp.stack(
+        [qid % 256, (qid // 256) % 256, qid // 65536], axis=-1
+    ).astype(dtype)  # (b, hw, 3), every digit exact in bf16
+    pad_q = jnp.zeros((b, hw, F_PAD - f - 3), dtype)
+    payload = jnp.concatenate([D21c, qid3, pad_q], axis=-1)  # (b, hw, F_PAD)
     bi = jnp.arange(b)[:, None]
 
     for d in range(dilation_max, 0, -1):
@@ -244,38 +250,36 @@ def refine_matches_pallas(
         vc = jnp.clip(v_best, 0, h - 1)
         # ONE scatter per level: desc + qid ride together, so the collision
         # winner is whichever row the scatter kept — no second pass needed.
-        # The kernel input zeroes the qid channels: their bf16 bit patterns
-        # can be NaN, and NaN * 0 (D's zero pad channels) would poison the
-        # in-kernel dot.
+        # The qid digit channels hit D's zero pad channels in the dot and
+        # contribute exactly 0.
         Qcl = jnp.zeros((b, h, w, F_PAD), dtype).at[bi, vc, uc].set(payload)
-        # where, NOT multiply: the qid bit patterns can be NaN and NaN*0=NaN
-        ch_mask = jnp.arange(F_PAD) < f
-        Qcs = jnp.transpose(
-            jnp.where(ch_mask, Qcl, jnp.zeros((), dtype)), (0, 1, 3, 2)
-        )  # (b, h, F_PAD, w)
+        Qcs = jnp.transpose(Qcl, (0, 1, 3, 2))  # (b, h, F_PAD, w)
 
         score, du, dv = corr_level(
             Qcs, Dp, radius=radius, dilation=d, interpret=interpret
         )
 
-        # one small gather at the centers: level result + winning qid
-        qid_plane = jax.lax.bitcast_convert_type(Qcl[..., f : f + 2], jnp.float32)
+        # one small gather at the centers: level result + winning qid digits
+        qid_planes = jnp.moveaxis(
+            Qcl[..., f : f + 3].astype(jnp.float32), -1, 1
+        )  # (b, 3, h, w)
         planes = jnp.concatenate(
             [
                 score[:, None],
                 du.astype(jnp.float32)[:, None],
                 dv.astype(jnp.float32)[:, None],
-                qid_plane[:, None],
+                qid_planes,
             ],
             axis=1,
-        ).reshape(b, 4, hw)
+        ).reshape(b, 6, hw)
         back = jnp.take_along_axis(
             planes, (vc * w + uc)[:, None, :], axis=2
-        )  # (b, 4, hw)
+        )  # (b, 6, hw)
         sc_q = back[:, 0]
         du_q = back[:, 1].astype(jnp.int32)
         dv_q = back[:, 2].astype(jnp.int32)
-        qid_back = jax.lax.bitcast_convert_type(back[:, 3], jnp.int32)
+        digits = jnp.round(back[:, 3:6]).astype(jnp.int32)
+        qid_back = digits[:, 0] + 256 * digits[:, 1] + 65536 * digits[:, 2]
         is_winner = qid_back == qid
 
         u_cand = u_best + du_q
