@@ -37,15 +37,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _corr_kernel(d_hbm, q_ref, score_ref, du_ref, dv_ref, d_vmem, sem,
-                 *, offsets, th, tw, h, w, pad_t, halo, slab_w, wp, pad_l, hp):
+def _corr_kernel(d_hbm, q_ref, score_ref, packed_ref, d_vmem, sem,
+                 *, offsets, n_desc, th, tw, h, w, pad_t, halo, slab_w, wp, pad_l,
+                 hp):
     """One (batch, column-tile, row-tile) grid step.
 
     d_hbm:  (b, hp, F_PAD, wp) ANY/HBM — zero-padded descriptor image.
     q_ref:  (1, th, F_PAD, tw) VMEM — query plane tile.
     d_vmem: (hp, F_PAD, slab_w) VMEM scratch — the column slab (tile width
             + du halo), copied in once per (batch, column-tile).
-    Outputs per pixel of the tile: best f32 score and its (du, dv) offset.
+    Outputs per pixel of the tile: best f32 score, and an int32 packing of
+    the seeded query's id (decoded from the base-256 digit channels
+    ``n_desc..n_desc+2`` of the query plane) with the best (du, dv):
+    ``qid * 4096 + (dv + 32) * 64 + (du + 32)`` — one plane instead of
+    four, so the caller's per-level center gather reads 2 planes, not 6.
     """
     bi = pl.program_id(0)
     j = pl.program_id(1)
@@ -98,20 +103,27 @@ def _corr_kernel(d_hbm, q_ref, score_ref, du_ref, dv_ref, d_vmem, sem,
         ),
     )
 
+    # seeded query id from the digit channels (exact small ints in bf16)
+    qid = (
+        q[:, n_desc, :].astype(jnp.int32)
+        + 256 * q[:, n_desc + 1, :].astype(jnp.int32)
+        + 65536 * q[:, n_desc + 2, :].astype(jnp.int32)
+    )
     score_ref[0] = best_s
-    du_ref[0] = best_du
-    dv_ref[0] = best_dv
+    packed_ref[0] = qid * 4096 + (best_dv + 32) * 64 + (best_du + 32)
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "dilation", "n_desc", "interpret"))
 def corr_level(Q: jax.Array, Dp: jax.Array, *, radius: int, dilation: int,
-               interpret: bool = False):
+               n_desc: int, interpret: bool = False):
     """Best dilated-window offset per pixel for one refine level.
 
-    Q:  (b, h, F_PAD, w) scattered query plane (zeros off-center).
+    Q:  (b, h, F_PAD, w) scattered query plane (zeros off-center); channels
+        ``n_desc..n_desc+2`` carry the seeded query id as base-256 digits.
     Dp: (b, hp, F_PAD, wp) zero-padded descriptor image, pads from
         :func:`corr_pads`.
-    Returns (score (b,h,w) f32, du (b,h,w) i32, dv (b,h,w) i32).
+    Returns (score (b,h,w) f32, packed (b,h,w) i32) — packed as in
+    :func:`_corr_kernel`.
     """
     b, h, f, w = Q.shape
     assert f == F_PAD
@@ -138,22 +150,21 @@ def corr_level(Q: jax.Array, Dp: jax.Array, *, radius: int, dilation: int,
                tuple(du * dilation for du in range(-radius, radius + 1)))
 
     kern = partial(
-        _corr_kernel, offsets=offsets, th=th, tw=tw, h=h, w=w,
+        _corr_kernel, offsets=offsets, n_desc=n_desc, th=th, tw=tw, h=h, w=w,
         pad_t=pad_t, halo=halo, slab_w=slab_w, wp=wp, pad_l=pad_l, hp=hp,
     )
     grid = (b, w // tw, h // th)  # row tiles innermost: one D slab per column
     out_spec = pl.BlockSpec((1, th, tw), lambda bi, j, i: (bi, i, j))
-    score, du, dv = pl.pallas_call(
+    score, packed = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, th, F_PAD, tw), lambda bi, j, i: (bi, i, 0, j)),
         ],
-        out_specs=[out_spec, out_spec, out_spec],
+        out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         ],
         scratch_shapes=[
@@ -162,7 +173,7 @@ def corr_level(Q: jax.Array, Dp: jax.Array, *, radius: int, dilation: int,
         ],
         interpret=interpret,
     )(Dp, Q)
-    return score, du, dv
+    return score, packed
 
 
 def corr_pads(h: int, w: int, rd_max: int):
@@ -255,31 +266,25 @@ def refine_matches_pallas(
         Qcl = jnp.zeros((b, h, w, F_PAD), dtype).at[bi, vc, uc].set(payload)
         Qcs = jnp.transpose(Qcl, (0, 1, 3, 2))  # (b, h, F_PAD, w)
 
-        score, du, dv = corr_level(
-            Qcs, Dp, radius=radius, dilation=d, interpret=interpret
+        score, packed = corr_level(
+            Qcs, Dp, radius=radius, dilation=d, n_desc=f, interpret=interpret
         )
 
-        # one small gather at the centers: level result + winning qid digits
-        qid_planes = jnp.moveaxis(
-            Qcl[..., f : f + 3].astype(jnp.float32), -1, 1
-        )  # (b, 3, h, w)
-        planes = jnp.concatenate(
-            [
-                score[:, None],
-                du.astype(jnp.float32)[:, None],
-                dv.astype(jnp.float32)[:, None],
-                qid_planes,
-            ],
-            axis=1,
-        ).reshape(b, 6, hw)
+        # one small gather at the centers: the kernel already packed
+        # (winning qid, du, dv) into one int32 plane; ride the f32 score
+        # bit-pattern alongside it (int32 moves carry no NaN
+        # canonicalization hazard; scores are finite by construction)
+        planes = jnp.stack(
+            [packed, jax.lax.bitcast_convert_type(score, jnp.int32)], axis=-1
+        ).reshape(b, hw, 2)
         back = jnp.take_along_axis(
-            planes, (vc * w + uc)[:, None, :], axis=2
-        )  # (b, 6, hw)
-        sc_q = back[:, 0]
-        du_q = back[:, 1].astype(jnp.int32)
-        dv_q = back[:, 2].astype(jnp.int32)
-        digits = jnp.round(back[:, 3:6]).astype(jnp.int32)
-        qid_back = digits[:, 0] + 256 * digits[:, 1] + 65536 * digits[:, 2]
+            planes, (vc * w + uc)[..., None], axis=1
+        )  # (b, hw, 2)
+        pk_q = back[..., 0]
+        sc_q = jax.lax.bitcast_convert_type(back[..., 1], jnp.float32)
+        du_q = pk_q % 64 - 32
+        dv_q = (pk_q // 64) % 64 - 32
+        qid_back = pk_q // 4096
         is_winner = qid_back == qid
 
         u_cand = u_best + du_q

@@ -65,6 +65,12 @@ class BAConfig(NamedTuple):
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
     sigma_point: float = 0.05  # point-alignment (config/base.yaml:33,54)
+    # Edges processed together per lax.map step inside the GN loop. The
+    # per-edge reduction is tiny VPU work over 147k points; mapping edges
+    # one-by-one serializes ~E dispatch-latency-bound steps per iteration
+    # (measured 513 ms / 10-iter solve at E=128 on v5e). Batching trades
+    # HBM working set (~B * HW * ~80 B) for parallelism.
+    map_batch: int = 16
 
 
 class Edges(NamedTuple):
@@ -153,23 +159,44 @@ def _reduce_rel_system(drd, w, err, P, Ti):
     return A, gj
 
 
-def _edge_points(X, C, T_WC, edge_ii, edge_jj, idx):
-    """Gather the matched point pair of one directed edge and transform
-    frame j's points into frame i (common prologue of all edge kernels)."""
+def _edges_pre(cfg: BAConfig, X, C, edges: Edges):
+    """Pose-INDEPENDENT per-edge work, hoisted out of the GN loop and run as
+    ONE vectorized program over all edges: the matched-point gather
+    (row-granular gathers cost ~2.5 ms per 147k rows on TPU and dominated
+    the solve when re-run per edge per iteration), the combined confidence
+    gate, and frame j's point rows. Returns stacked
+    (Xi (E, HW, 3), w0 (E, HW), Xj (E, HW, 3)) with
+    w0 = [valid & gates] * sqrt(Q)."""
+    E, HW = edges.idx.shape
+    XC = jnp.concatenate([X, C], axis=-1)  # (P, HW, 4): ONE gather, not two
+    flat = XC.reshape(-1, 4)
+    rows = flat[(edges.ii[:, None] * HW + edges.idx).reshape(-1)]
+    rows = rows.reshape(E, HW, 4)
+    Xi, Ci = rows[..., :3], rows[..., 3]
+    Cj = C[edges.jj][..., 0]  # (E, HW)
+    valid = edges.valid & edges.active[:, None]
+    ok = valid & (edges.Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
+    w0 = ok.astype(X.dtype) * jnp.sqrt(edges.Q)
+    Xj = jnp.take(X, edges.jj, axis=0)  # (E, HW, 3) contiguous big slices
+    return Xi, w0, Xj
+
+
+def _edge_points(T_WC, edge_ii, edge_jj, Xj):
+    """Pose-DEPENDENT prologue of all edge kernels: transform frame j's
+    points into frame i. ``Xj`` comes pre-sliced from :func:`_edges_pre` so
+    the GN loop body contains no large gathers at all."""
     Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
     Tij = lie.sim3_rel(Ti, Tj)
-    Xi = X[edge_ii][idx]  # (HW, 3) matched measurement points in frame i
-    Ci = C[edge_ii][idx, 0]
-    Xj = X[edge_jj]  # (HW, 3)
-    Cj = C[edge_jj][:, 0]
     P = lie.sim3_act(Tij, Xj)  # Xj in frame i
-    return Ti, Xi, Ci, Cj, P
+    return Ti, P
 
 
-def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q):
+def _ray_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, Xi, w0, Xj):
     """One directed edge -> (A (7,7), gj (7,)) with H = [[A,-A],[-A,A]],
-    g = (-gj, gj). Mirrors ray_align_kernel (gn_kernels.cu:576-907)."""
-    Ti, Xi, Ci, Cj, P = _edge_points(X, C, T_WC, edge_ii, edge_jj, idx)
+    g = (-gj, gj). Mirrors ray_align_kernel (gn_kernels.cu:576-907).
+    ``Xi``/``w0``/``Xj`` come pre-gathered from :func:`_edges_pre`."""
+    Ti, P = _edge_points(T_WC, edge_ii, edge_jj, Xj)
+    X = Xi  # dtype anchor
 
     norm_i = jnp.linalg.norm(Xi, axis=-1)
     ri = Xi / norm_i[:, None]
@@ -179,10 +206,8 @@ def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q)
 
     err = jnp.concatenate([rj - ri, (norm_j - norm_i)[:, None]], axis=-1)  # (HW,4)
 
-    ok = valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
-    okf = ok.astype(X.dtype)
     sqrt_w = jnp.stack(
-        [okf * jnp.sqrt(Q) / cfg.sigma_ray] * 3 + [okf * jnp.sqrt(Q) / cfg.sigma_dist],
+        [w0 / cfg.sigma_ray] * 3 + [w0 / cfg.sigma_dist],
         axis=-1,
     )  # (HW, 4)
     w = huber(sqrt_w * err) * sqrt_w * sqrt_w  # (HW, 4)
@@ -197,14 +222,16 @@ def _ray_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q)
     return _reduce_rel_system(drd, w, err, P, Ti)
 
 
-def _calib_edge_system(cfg: BAConfig, img_hw, X, C, K, T_WC, edge_ii, edge_jj,
-                       idx, valid, Q):
+def _calib_edge_system(cfg: BAConfig, img_hw, K, T_WC, edge_ii, edge_jj,
+                       idx, Xi, w0, Xj):
     """Calibrated pixel + log-depth edge (calib_proj_kernel,
     gn_kernels.cu:2295-2608): residual = [u - u_meas, v - v_meas,
     log z_j - log z_i] with pinhole K; validity additionally requires both
-    depths > z_eps and the projection within the pixel border."""
+    depths > z_eps and the projection within the pixel border (the
+    pose-dependent part of the gate; the rest is baked into ``w0``)."""
     height, width = img_hw
-    Ti, Xi, Ci, Cj, P = _edge_points(X, C, T_WC, edge_ii, edge_jj, idx)
+    X = Xi  # dtype anchor
+    Ti, P = _edge_points(T_WC, edge_ii, edge_jj, Xj)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
     valid_z = (P[:, 2] > cfg.depth_eps) & (Xi[:, 2] > cfg.depth_eps)
@@ -223,11 +250,9 @@ def _calib_edge_system(cfg: BAConfig, img_hw, X, C, K, T_WC, edge_ii, edge_jj,
     zi_log = jnp.where(valid_z, jnp.log(jnp.maximum(Xi[:, 2], cfg.depth_eps)), 0.0)
     err = jnp.stack([u - u_t, v - v_t, zj_log - zi_log], axis=-1)  # (HW, 3)
 
-    ok = (valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
-          & valid_u & valid_v & valid_z)
-    okf = ok.astype(X.dtype)
-    sw_pix = okf * jnp.sqrt(Q) / cfg.sigma_pixel
-    sw_dep = okf * jnp.sqrt(Q) / cfg.sigma_depth
+    okf = (valid_u & valid_v & valid_z).astype(X.dtype) * w0
+    sw_pix = okf / cfg.sigma_pixel
+    sw_dep = okf / cfg.sigma_depth
     sqrt_w = jnp.stack([sw_pix, sw_pix, sw_dep], axis=-1)
     w = huber(sqrt_w * err) * sqrt_w * sqrt_w
 
@@ -242,13 +267,13 @@ def _calib_edge_system(cfg: BAConfig, img_hw, X, C, K, T_WC, edge_ii, edge_jj,
     return _reduce_rel_system(drd, w, err, P, Ti)
 
 
-def _point_edge_system(cfg: BAConfig, X, C, T_WC, edge_ii, edge_jj, idx, valid, Q):
+def _point_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, Xi, w0, Xj):
     """3-D point-alignment edge (point_align_kernel, gn_kernels.cu:1936-2204):
     residual = Sim3(T_ij) Xj - Xi, D = I."""
-    Ti, Xi, Ci, Cj, P = _edge_points(X, C, T_WC, edge_ii, edge_jj, idx)
+    Ti, P = _edge_points(T_WC, edge_ii, edge_jj, Xj)
+    X = Xi  # dtype anchor
     err = P - Xi  # (HW, 3)
-    ok = valid & (Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
-    sw = ok.astype(X.dtype) * jnp.sqrt(Q) / cfg.sigma_point
+    sw = w0 / cfg.sigma_point
     sqrt_w = jnp.broadcast_to(sw[:, None], err.shape)
     w = huber(sqrt_w * err) * sqrt_w * sqrt_w
     drd = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (*err.shape, 3))
@@ -336,23 +361,31 @@ def _scatter_block(H, g, blocks, gvecs, ii_opt, jj_opt, p_opt):
 
 
 def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
-              s_bar, edge_system):
+              s_bar, edge_xs, edge_system):
     """Shared outer GN driver (gauss_newton_rays_odom_cuda,
     gn_kernels.cu:1792-1934): per iteration, reduce all edge systems, scatter
     into the dense (7P x 7P) normal equations, add odometry + scale-prior
     blocks, Cholesky-solve on device, retract, stop on small step.
 
-    ``edge_system(T_WC_in, e)`` -> (A (7,7), gj (7,)) for directed edge e.
+    ``edge_xs`` is a pytree of per-edge arrays (leading dim E) holding the
+    pose-independent tensors from :func:`_edges_pre` — computed ONCE before
+    the loop (the matched-point gathers dominate when re-run per iteration).
+    ``edge_system(T_WC_in, xs_e)`` -> (A (7,7), gj (7,)). The GN loop maps
+    over edge DATA in contiguous ``map_batch`` chunks (``lax.map`` dynamic-
+    slices the chunk); mapping over *indices* instead re-materializes the
+    big gathers inside the loop, which measured ~4x slower.
     """
     p = T_WC.shape[0]
     p_opt = p - num_fix
+    e_total = edges.ii.shape[0]
+    bs = max(1, min(cfg.map_batch, e_total))
 
     def iteration(T_WC_in):
         # visual edges
-        def one_edge(e):
-            return edge_system(T_WC_in, e)
+        def one_edge(xs_e):
+            return edge_system(T_WC_in, xs_e)
 
-        A_all, gj_all = jax.lax.map(one_edge, jnp.arange(edges.ii.shape[0]))
+        A_all, gj_all = jax.lax.map(one_edge, edge_xs, batch_size=bs)
         amask = edges.active.astype(A_all.dtype)[:, None, None]
         A_all = A_all * amask
         gj_all = gj_all * amask[..., 0]
@@ -375,7 +408,8 @@ def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
             m = odom.active[o].astype(Ho.dtype)
             return Ho * m, go * m
 
-        Ho_all, go_all = jax.lax.map(one_odom, jnp.arange(odom.ii.shape[0]))
+        # odom edges are scalar-sized — vmap them outright
+        Ho_all, go_all = jax.vmap(one_odom)(jnp.arange(odom.ii.shape[0]))
         oi_opt = odom.ii - num_fix
         oj_opt = odom.jj - num_fix
         H, g = _scatter_block(H, g, Ho_all[:, :7, :7], go_all[:, :7], oi_opt, oi_opt, p_opt)
@@ -454,13 +488,14 @@ def solve_gn_rays(
     (gn_kernels.cu:1792-1934). Returns updated (P, 8) poses.
     """
 
-    def edge_system(T_WC_in, e):
-        return _ray_edge_system(
-            cfg, X, C, T_WC_in, edges.ii[e], edges.jj[e], edges.idx[e],
-            edges.valid[e] & edges.active[e], edges.Q[e],
-        )
+    Xi, w0, Xj = _edges_pre(cfg, X, C, edges)
+    xs = (edges.ii, edges.jj, Xi, w0, Xj)
 
-    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_system)
+    def edge_system(T_WC_in, xs_e):
+        ii, jj, Xi_e, w0_e, Xj_e = xs_e
+        return _ray_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
+
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, xs, edge_system)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_fix", "img_hw"))
@@ -481,13 +516,16 @@ def solve_gn_calib(
     calib path carries no odometry/scale-prior factors — pass empty/inactive
     rows for parity, but they are supported (a VIO-with-calib extension)."""
 
-    def edge_system(T_WC_in, e):
+    Xi, w0, Xj = _edges_pre(cfg, X, C, edges)
+    xs = (edges.ii, edges.jj, edges.idx, Xi, w0, Xj)
+
+    def edge_system(T_WC_in, xs_e):
+        ii, jj, idx, Xi_e, w0_e, Xj_e = xs_e
         return _calib_edge_system(
-            cfg, img_hw, X, C, K, T_WC_in, edges.ii[e], edges.jj[e],
-            edges.idx[e], edges.valid[e] & edges.active[e], edges.Q[e],
+            cfg, img_hw, K, T_WC_in, ii, jj, idx, Xi_e, w0_e, Xj_e
         )
 
-    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_system)
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, xs, edge_system)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_fix"))
@@ -505,10 +543,11 @@ def solve_gn_points(
     gn_kernels.cu:2206-2293; exported at gn.cpp:152-160, driven by the
     disabled local mapper local_mapping.py:190-206)."""
 
-    def edge_system(T_WC_in, e):
-        return _point_edge_system(
-            cfg, X, C, T_WC_in, edges.ii[e], edges.jj[e], edges.idx[e],
-            edges.valid[e] & edges.active[e], edges.Q[e],
-        )
+    Xi, w0, Xj = _edges_pre(cfg, X, C, edges)
+    xs = (edges.ii, edges.jj, Xi, w0, Xj)
 
-    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_system)
+    def edge_system(T_WC_in, xs_e):
+        ii, jj, Xi_e, w0_e, Xj_e = xs_e
+        return _point_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
+
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, xs, edge_system)

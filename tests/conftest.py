@@ -1,11 +1,12 @@
 """Test harness: force an 8-virtual-device CPU platform so sharding tests run
-without TPU hardware. Must run before jax initializes a backend."""
+without TPU hardware. Must run before jax initializes a backend (NOT before
+jax is imported — the axon sitecustomize imports jax at interpreter start,
+so env-var-only overrides of JAX_PLATFORMS are silently ignored; use
+jax.config.update, which works any time before first backend use)."""
 
 import os
 
-# The environment presets JAX_PLATFORMS=axon (remote TPU tunnel); tests must
-# run on the virtual-device CPU platform, so override unconditionally.
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses we spawn
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +21,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax  # noqa: E402
 
+# The environment presets JAX_PLATFORMS=axon (remote TPU tunnel) and imports
+# jax before this file runs; override the live config unconditionally.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual-device CPU platform, got "
+    + jax.default_backend()
+)
+assert len(jax.devices()) >= 8, "xla_force_host_platform_device_count not applied"
 jax.config.update("jax_threefry_partitionable", True)
 # The backend BA solves its (7P x 7P) normal equations in f64, matching the
 # reference's double-precision Eigen solve (gn_kernels.cu:163-199).
