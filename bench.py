@@ -49,8 +49,10 @@ from frodo_slam_tpu.config import make_config  # noqa: E402
 from frodo_slam_tpu.models import mast3r  # noqa: E402
 from frodo_slam_tpu.ops import lie  # noqa: E402
 from frodo_slam_tpu.slam import frame as frame_mod  # noqa: E402
-from frodo_slam_tpu.slam.backend import _gate_pairs, _write_pair_rows  # noqa: E402
-from frodo_slam_tpu.slam.global_opt import BAConfig, Edges, empty_odom_edges, solve_gn_rays  # noqa: E402
+from frodo_slam_tpu.slam.backend import _gate_pairs, _pair_cache, _write_pair_rows  # noqa: E402
+from frodo_slam_tpu.slam.global_opt import (  # noqa: E402
+    BAConfig, Edges, _edges_pre, empty_odom_edges, solve_gn_rays,
+)
 from frodo_slam_tpu.slam.inference import decode_mono, match_symmetric  # noqa: E402
 from frodo_slam_tpu.slam.tracker import TrackingCfg, track_step  # noqa: E402
 
@@ -106,6 +108,11 @@ def _steady_state_window(hw, n_poses):
         Q=jnp.full((e, hw), 4.0, jnp.float32),
         active=jnp.asarray([True] * len(ii) + [False] * pad),
     )
+    # pre-fill the pose-independent edge cache, exactly as the production
+    # backend does at insertion (backend._pair_cache): solves must not pay
+    # the per-edge matched-point gather (460 ms at this window size)
+    XiT, w0 = jax.jit(_edges_pre, static_argnames="cfg")(BAConfig(), X, C, edges)
+    edges = edges._replace(XiT=XiT, w0=w0)
     return T_true, X, C, edges
 
 

@@ -56,11 +56,18 @@ def _gate_pairs(idx_i2j, idx_j2i, valid_match_j, valid_match_i, Qii, Qjj, Qji, Q
 
 @partial(jax.jit, donate_argnums=(0,))
 def _write_pair_rows(edges: Edges, r0, i, j, idx_i2j, idx_j2i,
-                     valid_j, valid_i, Qj, Qi):
+                     valid_j, valid_i, Qj, Qi, cache=None):
     """Write both directed rows of one pair in ONE donated dispatch — a
     chain of eager .at[].set() calls copied the full padded edge buffers
-    (tens of MB) once per field."""
+    (tens of MB) once per field. ``cache``: optional
+    (XiT_r0, w0_r0, XiT_r1, w0_r1) from :func:`_pair_cache` — the edge's
+    pose-independent solver inputs (see Edges docstring)."""
     r1 = r0 + 1
+    XiT, w0 = edges.XiT, edges.w0
+    if cache is not None:
+        XiT_r0, w0_r0, XiT_r1, w0_r1 = cache
+        XiT = XiT.at[r0].set(XiT_r0).at[r1].set(XiT_r1)
+        w0 = w0.at[r0].set(w0_r0).at[r1].set(w0_r1)
     return Edges(
         ii=edges.ii.at[r0].set(i).at[r1].set(j),
         jj=edges.jj.at[r0].set(j).at[r1].set(i),
@@ -70,7 +77,33 @@ def _write_pair_rows(edges: Edges, r0, i, j, idx_i2j, idx_j2i,
         Q=edges.Q.at[r0].set(Qj.astype(edges.Q.dtype))
         .at[r1].set(Qi.astype(edges.Q.dtype)),
         active=edges.active.at[r0].set(True).at[r1].set(True),
+        XiT=XiT,
+        w0=w0,
     )
+
+
+@partial(jax.jit, static_argnames=())
+def _pair_cache(q_conf, c_conf, X_i, C_i, n_i, X_j, C_j, n_j,
+                idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi):
+    """Pose-independent solver inputs of one pair's two directed rows
+    (the matched-point gather + combined gate; Edges.XiT/w0 docstring).
+    Runs ONCE at insertion — re-gathering per solve measured 460 ms at
+    steady state. ``n_*``: fusion counts normalizing the stored confidence
+    sums (KeyframeStore.C is a running sum; _build_window divides the same
+    way)."""
+    Cin = C_i[:, 0] / jnp.maximum(n_i, 1).astype(C_i.dtype)
+    Cjn = C_j[:, 0] / jnp.maximum(n_j, 1).astype(C_j.dtype)
+
+    def one_row(X_a, C_a, C_b, idx, valid, Q):
+        Xi = X_a[idx]  # (HW, 3)
+        Ci = C_a[idx]
+        ok = valid & (Q > q_conf) & (Ci > c_conf) & (C_b > c_conf)
+        w0 = ok.astype(X_a.dtype) * jnp.sqrt(Q)
+        return jnp.swapaxes(Xi, 0, 1), w0
+
+    XiT_r0, w0_r0 = one_row(X_i, Cin, Cjn, idx_i2j, valid_j, Qj)
+    XiT_r1, w0_r1 = one_row(X_j, Cjn, Cin, idx_j2i, valid_i, Qi)
+    return XiT_r0, w0_r0, XiT_r1, w0_r1
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -85,6 +118,8 @@ def _shift_rows_jit(edges: Edges, pair_idx):
     srcc = jnp.minimum(src, E - 1)
 
     def shift(a):
+        if a is None:
+            return None
         out = a[srcc]
         mask = live.reshape((E,) + (1,) * (a.ndim - 1))
         return jnp.where(mask, out, jnp.zeros_like(out))
@@ -201,16 +236,27 @@ class BackendGraph:
                 return False
             if bad and not consecutive:
                 continue
+            si, sj = slots_i[n], slots_j[n]
+            cache = _pair_cache(
+                jnp.float32(self.cfg.Q_conf), jnp.float32(self.cfg.C_conf),
+                store.X_canon[si], store.C[si], store.N[si],
+                store.X_canon[sj], store.C[sj], store.N[sj],
+                idx_i2j[n].astype(jnp.int32), idx_j2i[n].astype(jnp.int32),
+                valid_j[n, :, 0], valid_i[n, :, 0],
+                Qj[n, :, 0], Qi[n, :, 0],
+            )
             self._insert_pair(
                 i, j,
                 idx_i2j[n], idx_j2i[n],
                 valid_j[n, :, 0], valid_i[n, :, 0],
                 Qj[n, :, 0], Qi[n, :, 0],
+                cache=cache,
             )
             added = True
         return added
 
-    def _insert_pair(self, i, j, idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi):
+    def _insert_pair(self, i, j, idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi,
+                     cache=None):
         """Write the two directed rows of pair (i, j) into the padded arrays;
         evict the oldest pair when full (ring semantics)."""
         pair_slot = len(self._pairs)
@@ -227,7 +273,7 @@ class BackendGraph:
         self._pairs.append((int(i), int(j)))
         self.edges = _write_pair_rows(
             self.edges, jnp.int32(2 * pair_slot), jnp.int32(i), jnp.int32(j),
-            idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi,
+            idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi, cache=cache,
         )
 
     def _shift_rows(self, pair_idx: int):
@@ -248,6 +294,8 @@ class BackendGraph:
             idx = jnp.asarray(rows, jnp.int32) if rows else jnp.zeros((0,), jnp.int32)
 
             def gather_pad(a):
+                if a is None:
+                    return None
                 out = jnp.zeros_like(a)
                 if rows:
                     out = out.at[: len(rows)].set(a[idx])

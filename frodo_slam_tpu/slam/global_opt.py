@@ -65,12 +65,18 @@ class BAConfig(NamedTuple):
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
     sigma_point: float = 0.05  # point-alignment (config/base.yaml:33,54)
-    # Edges processed together per lax.map step inside the GN loop. The
-    # per-edge reduction is tiny VPU work over 147k points; mapping edges
-    # one-by-one serializes ~E dispatch-latency-bound steps per iteration
-    # (measured 513 ms / 10-iter solve at E=128 on v5e). Batching trades
-    # HBM working set (~B * HW * ~80 B) for parallelism.
+    # Edges processed together per lax.map step inside the GN loop (the
+    # xla edge path). The per-edge reduction is tiny VPU work over 147k
+    # points; mapping edges one-by-one serializes ~E dispatch-latency-bound
+    # steps per iteration (measured 513 ms / 10-iter solve at E=128 on
+    # v5e). Batching trades HBM working set (~B * HW * ~80 B) for
+    # parallelism.
     map_batch: int = 16
+    # Ray-edge reduction implementation: "auto" picks the fused Pallas
+    # kernel (ops/ba_reduce_pallas.py) on TPU and the jnp lax.map path
+    # elsewhere. The jnp path materializes (chunk, HW, 4, 3)-class
+    # intermediates in HBM every GN iteration and is HBM-bound.
+    edge_impl: str = "auto"
 
 
 class Edges(NamedTuple):
@@ -81,6 +87,18 @@ class Edges(NamedTuple):
     the match validity AND the Q gate computed at insertion (upstream
     semantics, global_opt_bk0.py:117-147). ``Q`` is the combined confidence
     sqrt(Q_ii[idx]*Q_ji).
+
+    ``XiT``/``w0`` cache the edge's pose-independent solver inputs — the
+    matched-point gather ``X[ii][idx]`` (channel-major) and the combined
+    gate/confidence sqrt-weight. Row-granular gathers cost ~3.6 ms per 147k
+    rows on TPU; re-gathering all E edges per solve measured 460 ms at the
+    backend's steady state, so the gather runs ONCE at edge insertion
+    (backend._pair_cache) and the arrays ride the edge store. This snapshots
+    frame ii's pointmap at insertion time — the same relaxed consistency the
+    reference's backend has with the frontend's concurrent pointmap fusion
+    (it reads shared memory whenever the solve happens to run). ``None`` is
+    accepted (tests / ad-hoc graphs): solvers then fall back to computing
+    both on the fly (:func:`_edges_pre`).
     """
 
     ii: jax.Array  # (E,) int32
@@ -89,6 +107,8 @@ class Edges(NamedTuple):
     valid: jax.Array  # (E, HW) bool
     Q: jax.Array  # (E, HW) f32
     active: jax.Array  # (E,) bool
+    XiT: jax.Array | None = None  # (E, 3, HW) f32 X[ii][idx] channel-major
+    w0: jax.Array | None = None  # (E, HW) f32 [valid & conf gates] * sqrt(Q)
 
 
 class OdomEdges(NamedTuple):
@@ -98,7 +118,7 @@ class OdomEdges(NamedTuple):
     active: jax.Array  # (O,) bool
 
 
-def empty_edges(e_max: int, hw: int) -> Edges:
+def empty_edges(e_max: int, hw: int, with_cache: bool = True) -> Edges:
     return Edges(
         ii=jnp.zeros((e_max,), jnp.int32),
         jj=jnp.zeros((e_max,), jnp.int32),
@@ -106,6 +126,8 @@ def empty_edges(e_max: int, hw: int) -> Edges:
         valid=jnp.zeros((e_max, hw), bool),
         Q=jnp.zeros((e_max, hw), jnp.float32),
         active=jnp.zeros((e_max,), bool),
+        XiT=jnp.zeros((e_max, 3, hw), jnp.float32) if with_cache else None,
+        w0=jnp.zeros((e_max, hw), jnp.float32) if with_cache else None,
     )
 
 
@@ -160,13 +182,14 @@ def _reduce_rel_system(drd, w, err, P, Ti):
 
 
 def _edges_pre(cfg: BAConfig, X, C, edges: Edges):
-    """Pose-INDEPENDENT per-edge work, hoisted out of the GN loop and run as
-    ONE vectorized program over all edges: the matched-point gather
-    (row-granular gathers cost ~2.5 ms per 147k rows on TPU and dominated
-    the solve when re-run per edge per iteration), the combined confidence
-    gate, and frame j's point rows. Returns stacked
-    (Xi (E, HW, 3), w0 (E, HW), Xj (E, HW, 3)) with
-    w0 = [valid & gates] * sqrt(Q)."""
+    """Pose-INDEPENDENT per-edge work: the matched-point gather
+    (row-granular gathers cost ~3.6 ms per 147k rows on TPU — 460 ms for
+    all edges at steady state, which is why the backend caches the result
+    in the edge store at insertion; this fallback runs when the cache is
+    absent) and the combined confidence gate. Returns
+    (XiT (E, 3, HW), w0 (E, HW)) with w0 = [valid & gates] * sqrt(Q).
+    ``active`` is NOT folded into w0 — the solver masks whole edges after
+    the reduction — so cached w0 stays valid across evictions."""
     E, HW = edges.idx.shape
     XC = jnp.concatenate([X, C], axis=-1)  # (P, HW, 4): ONE gather, not two
     flat = XC.reshape(-1, 4)
@@ -174,11 +197,50 @@ def _edges_pre(cfg: BAConfig, X, C, edges: Edges):
     rows = rows.reshape(E, HW, 4)
     Xi, Ci = rows[..., :3], rows[..., 3]
     Cj = C[edges.jj][..., 0]  # (E, HW)
-    valid = edges.valid & edges.active[:, None]
-    ok = valid & (edges.Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
+    ok = edges.valid & (edges.Q > cfg.Q_conf) & (Ci > cfg.C_conf) & (Cj > cfg.C_conf)
     w0 = ok.astype(X.dtype) * jnp.sqrt(edges.Q)
-    Xj = jnp.take(X, edges.jj, axis=0)  # (E, HW, 3) contiguous big slices
-    return Xi, w0, Xj
+    return jnp.swapaxes(Xi, 1, 2), w0
+
+
+def _edge_inputs(cfg: BAConfig, X, C, edges: Edges):
+    """Per-edge solver inputs: the cached (XiT, w0) when the edge store
+    carries them, else the on-the-fly fallback; plus frame j's points as
+    contiguous channel-major slices (cheap — no row gather)."""
+    if edges.XiT is not None:
+        XiT, w0 = edges.XiT, edges.w0
+    else:
+        XiT, w0 = _edges_pre(cfg, X, C, edges)
+    XjT = jnp.take(jnp.swapaxes(X, 1, 2), edges.jj, axis=0)  # (E, 3, HW)
+    return XiT, w0, XjT
+
+
+def _pallas_ray_systems(cfg: BAConfig, edges: Edges, XiT, w0, XjT):
+    """Ray edge systems via the fused Pallas reduction
+    (ops/ba_reduce_pallas.py): per GN iteration, ONE kernel launch streams
+    every edge's points through VMEM; only the tiny per-edge Sim3 scalars
+    and the 7x7 AdjInv transforms run as jnp ops."""
+    from ..ops.ba_reduce_pallas import ray_edge_systems_pallas
+
+    def edge_systems(T_WC_in):
+        Ti = T_WC_in[edges.ii]
+        Tj = T_WC_in[edges.jj]
+        Tij = jax.vmap(lie.sim3_rel)(Ti, Tj)
+        R = jax.vmap(lie.quat_to_R)(Tij[:, 3:7])
+        sR = Tij[:, 7, None, None] * R
+        scal = jnp.concatenate(
+            [sR.reshape(-1, 9), Tij[:, :3]], axis=-1
+        ).astype(jnp.float32)
+        B, g = ray_edge_systems_pallas(
+            scal, XiT.astype(jnp.float32), XjT.astype(jnp.float32),
+            w0.astype(jnp.float32),
+            sigma_ray=float(cfg.sigma_ray), sigma_dist=float(cfg.sigma_dist),
+        )
+        M = jax.vmap(_adj_inv_matrix)(Ti).astype(jnp.float32)
+        A = jnp.einsum("eba,ebc,ecd->ead", M, B, M)
+        gj = jnp.einsum("eba,eb->ea", M, g)
+        return A.astype(T_WC_in.dtype), gj.astype(T_WC_in.dtype)
+
+    return edge_systems
 
 
 def _edge_points(T_WC, edge_ii, edge_jj, Xj):
@@ -198,9 +260,12 @@ def _ray_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, Xi, w0, Xj):
     Ti, P = _edge_points(T_WC, edge_ii, edge_jj, Xj)
     X = Xi  # dtype anchor
 
-    norm_i = jnp.linalg.norm(Xi, axis=-1)
+    # eps guards: masked rows may carry all-zero cached points; NaNs would
+    # survive the w0=0 multiply and poison the scatter
+    eps = jnp.asarray(1e-12, X.dtype)
+    norm_i = jnp.maximum(jnp.linalg.norm(Xi, axis=-1), eps)
     ri = Xi / norm_i[:, None]
-    norm_j = jnp.linalg.norm(P, axis=-1)
+    norm_j = jnp.maximum(jnp.linalg.norm(P, axis=-1), eps)
     nj_inv = 1.0 / norm_j
     rj = P * nj_inv[:, None]
 
@@ -360,32 +425,46 @@ def _scatter_block(H, g, blocks, gvecs, ii_opt, jj_opt, p_opt):
     return H, g
 
 
+def _map_edge_systems(cfg: BAConfig, edge_xs, edge_system):
+    """The jnp ray/calib/point edge path: map ``edge_system(T, xs_e)`` over
+    contiguous ``map_batch`` chunks of per-edge DATA (``lax.map`` dynamic-
+    slices the chunk; mapping over *indices* instead re-materializes the
+    big gathers inside the loop, which measured ~4x slower)."""
+    e_total = jax.tree.leaves(edge_xs)[0].shape[0]
+    bs = max(1, min(cfg.map_batch, e_total))
+
+    def edge_systems(T_WC_in):
+        return jax.lax.map(
+            lambda xs_e: edge_system(T_WC_in, xs_e), edge_xs, batch_size=bs
+        )
+
+    return edge_systems
+
+
+def _resolve_edge_impl(cfg: BAConfig) -> str:
+    if cfg.edge_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return cfg.edge_impl
+
+
 def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
-              s_bar, edge_xs, edge_system):
+              s_bar, edge_systems):
     """Shared outer GN driver (gauss_newton_rays_odom_cuda,
     gn_kernels.cu:1792-1934): per iteration, reduce all edge systems, scatter
     into the dense (7P x 7P) normal equations, add odometry + scale-prior
     blocks, Cholesky-solve on device, retract, stop on small step.
 
-    ``edge_xs`` is a pytree of per-edge arrays (leading dim E) holding the
-    pose-independent tensors from :func:`_edges_pre` — computed ONCE before
-    the loop (the matched-point gathers dominate when re-run per iteration).
-    ``edge_system(T_WC_in, xs_e)`` -> (A (7,7), gj (7,)). The GN loop maps
-    over edge DATA in contiguous ``map_batch`` chunks (``lax.map`` dynamic-
-    slices the chunk); mapping over *indices* instead re-materializes the
-    big gathers inside the loop, which measured ~4x slower.
+    ``edge_systems(T_WC_in)`` -> (A_all (E, 7, 7), gj_all (E, 7)) for all
+    directed visual edges; the pose-independent per-edge tensors
+    (:func:`_edges_pre`) are closed over, computed ONCE before the loop —
+    the matched-point gathers dominate when re-run per iteration.
     """
     p = T_WC.shape[0]
     p_opt = p - num_fix
-    e_total = edges.ii.shape[0]
-    bs = max(1, min(cfg.map_batch, e_total))
 
     def iteration(T_WC_in):
         # visual edges
-        def one_edge(xs_e):
-            return edge_system(T_WC_in, xs_e)
-
-        A_all, gj_all = jax.lax.map(one_edge, edge_xs, batch_size=bs)
+        A_all, gj_all = edge_systems(T_WC_in)
         amask = edges.active.astype(A_all.dtype)[:, None, None]
         A_all = A_all * amask
         gj_all = gj_all * amask[..., 0]
@@ -488,14 +567,21 @@ def solve_gn_rays(
     (gn_kernels.cu:1792-1934). Returns updated (P, 8) poses.
     """
 
-    Xi, w0, Xj = _edges_pre(cfg, X, C, edges)
-    xs = (edges.ii, edges.jj, Xi, w0, Xj)
+    XiT, w0, XjT = _edge_inputs(cfg, X, C, edges)
 
-    def edge_system(T_WC_in, xs_e):
-        ii, jj, Xi_e, w0_e, Xj_e = xs_e
-        return _ray_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
+    if _resolve_edge_impl(cfg) == "pallas":
+        edge_systems = _pallas_ray_systems(cfg, edges, XiT, w0, XjT)
+    else:
+        xs = (edges.ii, edges.jj, jnp.swapaxes(XiT, 1, 2), w0,
+              jnp.swapaxes(XjT, 1, 2))
 
-    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, xs, edge_system)
+        def edge_system(T_WC_in, xs_e):
+            ii, jj, Xi_e, w0_e, Xj_e = xs_e
+            return _ray_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
+
+        edge_systems = _map_edge_systems(cfg, xs, edge_system)
+
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_systems)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_fix", "img_hw"))
@@ -516,8 +602,9 @@ def solve_gn_calib(
     calib path carries no odometry/scale-prior factors — pass empty/inactive
     rows for parity, but they are supported (a VIO-with-calib extension)."""
 
-    Xi, w0, Xj = _edges_pre(cfg, X, C, edges)
-    xs = (edges.ii, edges.jj, edges.idx, Xi, w0, Xj)
+    XiT, w0, XjT = _edge_inputs(cfg, X, C, edges)
+    xs = (edges.ii, edges.jj, edges.idx, jnp.swapaxes(XiT, 1, 2), w0,
+          jnp.swapaxes(XjT, 1, 2))
 
     def edge_system(T_WC_in, xs_e):
         ii, jj, idx, Xi_e, w0_e, Xj_e = xs_e
@@ -525,7 +612,8 @@ def solve_gn_calib(
             cfg, img_hw, K, T_WC_in, ii, jj, idx, Xi_e, w0_e, Xj_e
         )
 
-    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, xs, edge_system)
+    edge_systems = _map_edge_systems(cfg, xs, edge_system)
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_systems)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_fix"))
@@ -543,11 +631,13 @@ def solve_gn_points(
     gn_kernels.cu:2206-2293; exported at gn.cpp:152-160, driven by the
     disabled local mapper local_mapping.py:190-206)."""
 
-    Xi, w0, Xj = _edges_pre(cfg, X, C, edges)
-    xs = (edges.ii, edges.jj, Xi, w0, Xj)
+    XiT, w0, XjT = _edge_inputs(cfg, X, C, edges)
+    xs = (edges.ii, edges.jj, jnp.swapaxes(XiT, 1, 2), w0,
+          jnp.swapaxes(XjT, 1, 2))
 
     def edge_system(T_WC_in, xs_e):
         ii, jj, Xi_e, w0_e, Xj_e = xs_e
         return _point_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
 
-    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, xs, edge_system)
+    edge_systems = _map_edge_systems(cfg, xs, edge_system)
+    return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_systems)

@@ -50,6 +50,8 @@ class LocalFactorGraph(BackendGraph):
         e = self.edges
 
         def gather_pad(a):
+            if a is None:
+                return None
             out = jnp.zeros_like(a)
             if rows:
                 out = out.at[: len(rows)].set(a[idx])
