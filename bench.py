@@ -49,7 +49,7 @@ from frodo_slam_tpu.config import make_config  # noqa: E402
 from frodo_slam_tpu.models import mast3r  # noqa: E402
 from frodo_slam_tpu.ops import lie  # noqa: E402
 from frodo_slam_tpu.slam import frame as frame_mod  # noqa: E402
-from frodo_slam_tpu.slam.backend import _gate_pairs, _pair_cache, _write_pair_rows  # noqa: E402
+from frodo_slam_tpu.slam.backend import _ingest_pairs, _write_pair_rows  # noqa: E402
 from frodo_slam_tpu.slam.global_opt import (  # noqa: E402
     BAConfig, Edges, _edges_pre, empty_odom_edges, solve_gn_rays,
 )
@@ -189,18 +189,28 @@ def main():
 
     def backend_step(edges, feat_i, pos_i, feat_j, pos_j, key):
         """One keyframe's backend work (vio.py:109-157): symmetric pair
-        decode + match, gating (real host sync), edge insertion, GN solve."""
+        decode + match, gating + edge-cache build (one fused dispatch, with
+        its real host sync), edge insertion, GN solve."""
         (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = (
             match_symmetric(params, mcfg, match_cfg_d, feat_i, pos_i, feat_j, pos_j, (h, w))
         )
-        Qj, Qi, valid_j, valid_i, fracs = _gate_pairs(
-            idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, jnp.float32(0.0)
+        n_one = jnp.ones((1,), jnp.int32)
+        (Qj, Qi, valid_j, valid_i, fracs, XiT_r0, w0_r0, XiT_r1, w0_r1) = (
+            _ingest_pairs(
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                X_win[window - 2 : window - 1], C_win[window - 2 : window - 1],
+                n_one,
+                X_win[window - 1 : window], C_win[window - 1 : window], n_one,
+                idx_i2j.astype(jnp.int32), idx_j2i.astype(jnp.int32),
+                vm_j, vm_i, Qii, Qjj, Qji, Qij,
+            )
         )
         fracs = np.asarray(fracs)  # the per-keyframe host sync of add_factors
         edges = _write_pair_rows(
             edges, live_rows, jnp.int32(window - 2), jnp.int32(window - 1),
             idx_i2j[0], idx_j2i[0], valid_j[0, :, 0], valid_i[0, :, 0],
             Qj[0, :, 0], Qi[0, :, 0],
+            cache=(XiT_r0[0], w0_r0[0], XiT_r1[0], w0_r1[0]),
         )
         T_new = ba_solve(perturb(key), edges)
         return edges, T_new, fracs

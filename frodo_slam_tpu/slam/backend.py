@@ -83,27 +83,45 @@ def _write_pair_rows(edges: Edges, r0, i, j, idx_i2j, idx_j2i,
 
 
 @partial(jax.jit, static_argnames=())
-def _pair_cache(q_conf, c_conf, X_i, C_i, n_i, X_j, C_j, n_j,
-                idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi):
-    """Pose-independent solver inputs of one pair's two directed rows
-    (the matched-point gather + combined gate; Edges.XiT/w0 docstring).
-    Runs ONCE at insertion — re-gathering per solve measured 460 ms at
-    steady state. ``n_*``: fusion counts normalizing the stored confidence
-    sums (KeyframeStore.C is a running sum; _build_window divides the same
-    way)."""
-    Cin = C_i[:, 0] / jnp.maximum(n_i, 1).astype(C_i.dtype)
-    Cjn = C_j[:, 0] / jnp.maximum(n_j, 1).astype(C_j.dtype)
+def _ingest_pairs(q_conf_gate, q_conf_ba, c_conf,
+                  X_i, C_i, n_i, X_j, C_j, n_j,
+                  idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+                  Qii, Qjj, Qji, Qij):
+    """Gating + pose-independent edge-cache build for a batch of pairs in
+    ONE dispatch, sharing the row gathers (147k-row gathers cost ~3-16 ms
+    each on TPU; the gate's Q lookup and the cache's matched-point lookup
+    use the SAME indices, so they ride one concatenated-table gather).
 
-    def one_row(X_a, C_a, C_b, idx, valid, Q):
-        Xi = X_a[idx]  # (HW, 3)
-        Ci = C_a[idx]
-        ok = valid & (Q > q_conf) & (Ci > c_conf) & (C_b > c_conf)
-        w0 = ok.astype(X_a.dtype) * jnp.sqrt(Q)
-        return jnp.swapaxes(Xi, 0, 1), w0
+    Combined confidences + bidirectional gating follow
+    global_opt_bk0.py:107-147; the cache is the Edges.XiT/w0 contract (run
+    ONCE at insertion — re-gathering per solve measured 460 ms at steady
+    state). ``n_*``: fusion counts normalizing the stored confidence sums.
 
-    XiT_r0, w0_r0 = one_row(X_i, Cin, Cjn, idx_i2j, valid_j, Qj)
-    XiT_r1, w0_r1 = one_row(X_j, Cjn, Cin, idx_j2i, valid_i, Qi)
-    return XiT_r0, w0_r0, XiT_r1, w0_r1
+    Shapes: X_* (N, HW, 3), C_* (N, HW, 1), n_* (N,), idx_* (N, HW),
+    valid_match_* (N, HW, 1), Q** (N, HW, 1).
+    Returns (Qj, Qi, valid_j, valid_i, fracs, XiT_r0, w0_r0, XiT_r1, w0_r1).
+    """
+    Cin = C_i[..., 0] / jnp.maximum(n_i, 1)[:, None].astype(C_i.dtype)
+    Cjn = C_j[..., 0] / jnp.maximum(n_j, 1)[:, None].astype(C_j.dtype)
+
+    def one_dir(X_a, C_a, Q_aa, C_b, Q_ba, idx, valid_match):
+        # ONE (HW, 5) row gather serves the gate (Q_aa) and the cache (X, C)
+        table = jnp.concatenate([X_a, C_a[..., None], Q_aa], axis=-1)
+        rows = jnp.take_along_axis(table, idx[..., None], axis=1)
+        Xg, Cg, Qg = rows[..., :3], rows[..., 3], rows[..., 4]
+        Qcomb = jnp.sqrt(Qg * Q_ba[..., 0])  # (N, HW)
+        valid = valid_match[..., 0] & (Qcomb > q_conf_gate)
+        ok = valid & (Qcomb > q_conf_ba) & (Cg > c_conf) & (C_b > c_conf)
+        w0 = ok.astype(X_a.dtype) * jnp.sqrt(Qcomb)
+        return Qcomb, valid, jnp.swapaxes(Xg, 1, 2), w0
+
+    Qj, valid_j, XiT_r0, w0_r0 = one_dir(X_i, Cin, Qii, Cjn, Qji, idx_i2j, valid_match_j)
+    Qi, valid_i, XiT_r1, w0_r1 = one_dir(X_j, Cjn, Qjj, Cin, Qij, idx_j2i, valid_match_i)
+    fracs = jnp.stack(
+        [valid_j.mean(axis=1), valid_i.mean(axis=1)], axis=-1
+    )  # (N, 2) — the ONLY host fetch add_factors needs
+    return (Qj[..., None], Qi[..., None], valid_j[..., None], valid_i[..., None],
+            fracs, XiT_r0, w0_r0, XiT_r1, w0_r1)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -222,9 +240,20 @@ class BackendGraph:
             feat_i, pos, feat_j, pos, self.img_hw,
         )
 
-        Qj, Qi, valid_j, valid_i, fracs = _gate_pairs(
-            idx_i2j, idx_j2i, valid_match_j, valid_match_i,
-            Qii, Qjj, Qji, Qij, jnp.float32(self.Q_conf),
+        si_arr = jnp.asarray(slots_i)
+        sj_arr = jnp.asarray(slots_j)
+        (Qj, Qi, valid_j, valid_i, fracs,
+         XiT_r0, w0_r0, XiT_r1, w0_r1) = _ingest_pairs(
+            jnp.float32(self.Q_conf), jnp.float32(self.cfg.Q_conf),
+            jnp.float32(self.cfg.C_conf),
+            store.X_canon[si_arr][: len(ii)], store.C[si_arr][: len(ii)],
+            store.N[si_arr][: len(ii)],
+            store.X_canon[sj_arr][: len(ii)], store.C[sj_arr][: len(ii)],
+            store.N[sj_arr][: len(ii)],
+            idx_i2j[: len(ii)].astype(jnp.int32),
+            idx_j2i[: len(ii)].astype(jnp.int32),
+            valid_match_j[: len(ii)], valid_match_i[: len(ii)],
+            Qii[: len(ii)], Qjj[: len(ii)], Qji[: len(ii)], Qij[: len(ii)],
         )
         fracs = np.asarray(fracs)  # one small host fetch
 
@@ -236,21 +265,12 @@ class BackendGraph:
                 return False
             if bad and not consecutive:
                 continue
-            si, sj = slots_i[n], slots_j[n]
-            cache = _pair_cache(
-                jnp.float32(self.cfg.Q_conf), jnp.float32(self.cfg.C_conf),
-                store.X_canon[si], store.C[si], store.N[si],
-                store.X_canon[sj], store.C[sj], store.N[sj],
-                idx_i2j[n].astype(jnp.int32), idx_j2i[n].astype(jnp.int32),
-                valid_j[n, :, 0], valid_i[n, :, 0],
-                Qj[n, :, 0], Qi[n, :, 0],
-            )
             self._insert_pair(
                 i, j,
                 idx_i2j[n], idx_j2i[n],
                 valid_j[n, :, 0], valid_i[n, :, 0],
                 Qj[n, :, 0], Qi[n, :, 0],
-                cache=cache,
+                cache=(XiT_r0[n], w0_r0[n], XiT_r1[n], w0_r1[n]),
             )
             added = True
         return added
