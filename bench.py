@@ -205,7 +205,9 @@ def main():
                 vm_j, vm_i, Qii, Qjj, Qji, Qij,
             )
         )
-        fracs = np.asarray(fracs)  # the per-keyframe host sync of add_factors
+        # consecutive-pair insertion never reads the gate fractions, so
+        # add_factors skips this host sync (backend.py need_fracs); keep the
+        # device-side fracs value flowing but do not fetch it
         edges = _write_pair_rows(
             edges, live_rows, jnp.int32(window - 2), jnp.int32(window - 1),
             idx_i2j[0], idx_j2i[0], valid_j[0, :, 0], valid_i[0, :, 0],

@@ -255,12 +255,19 @@ class BackendGraph:
             valid_match_j[: len(ii)], valid_match_i[: len(ii)],
             Qii[: len(ii)], Qjj[: len(ii)], Qji[: len(ii)], Qij[: len(ii)],
         )
-        fracs = np.asarray(fracs)  # one small host fetch
+        # The gate fractions only DECIDE anything for reloc attempts and
+        # non-consecutive (loop-closure) pairs — consecutive edges are
+        # inserted unconditionally (global_opt.py:117-127). Skip the host
+        # sync when nothing gates: through the remote-TPU tunnel one fetch
+        # costs ~37 ms per keyframe.
+        need_fracs = is_reloc or any(i != j - 1 for i, j in zip(ii, jj))
+        if need_fracs:
+            fracs = np.asarray(fracs)  # one small host fetch
 
         added = False
         for n, (i, j) in enumerate(zip(ii, jj)):
             consecutive = i == j - 1
-            bad = float(fracs[n].min()) < mmf
+            bad = need_fracs and float(fracs[n].min()) < mmf
             if bad and is_reloc:
                 return False
             if bad and not consecutive:
