@@ -31,7 +31,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # fixed lane/sublane geometry
 LANES = 128

@@ -143,6 +143,79 @@ def main():
     timeit("FULL track_step (encode+all)", full_step_j, params, kf, img,
            n=5, fetch_base=fetch_base)
 
+    if "--backend" in sys.argv:
+        profile_backend(params, cfg, fetch_base)
+
+
+def profile_backend(params, cfg, fetch_base):
+    """Backend keyframe-step stage budget (PERF.md table): symmetric pair
+    decode+match, fused gating+cache ingest, donated row write, GN solve."""
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.slam.backend import _ingest_pairs
+    from frodo_slam_tpu.slam.global_opt import (
+        BAConfig, Edges, _edges_pre, empty_odom_edges, solve_gn_rays,
+    )
+    from frodo_slam_tpu.slam.inference import match_symmetric
+
+    h, w = 288, 512
+    hw = h * w
+    window = 64
+    sys_cfg = make_config()
+    match_cfg_d = dict(sys_cfg.matching)
+    ba_cfg = BAConfig(max_iters=int(sys_cfg.local_opt.max_iters), pin=1,
+                      delta_norm=float(sys_cfg.local_opt.delta_norm))
+
+    key = jax.random.PRNGKey(7)
+    kp, kx = jax.random.split(key)
+    pts_w = jax.random.uniform(kp, (hw, 3), minval=-2.0, maxval=2.0) + jnp.array([0, 0, 6.0])
+    xis = jax.random.normal(kx, (window, 7)) * jnp.array([0.3] * 3 + [0.15] * 3 + [0.05])
+    T_true = jax.vmap(lie.sim3_exp)(xis).astype(jnp.float32)
+    X = jax.vmap(lambda T: lie.sim3_act(lie.sim3_inv(T), pts_w))(T_true).astype(jnp.float32)
+    C = jnp.full((window, hw, 1), 5.0, jnp.float32)
+    ii, jj = [], []
+    for k in range(window - 1):
+        ii += [k, k + 1]
+        jj += [k + 1, k]
+    e = 2 * window
+    pad = e - len(ii)
+    edges0 = Edges(
+        ii=jnp.asarray(ii + [0] * pad, jnp.int32),
+        jj=jnp.asarray(jj + [0] * pad, jnp.int32),
+        idx=jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32), (e, hw)),
+        valid=jnp.concatenate([jnp.ones((len(ii), hw), bool), jnp.zeros((pad, hw), bool)]),
+        Q=jnp.full((e, hw), 4.0, jnp.float32),
+        active=jnp.asarray([True] * len(ii) + [False] * pad),
+    )
+    XiT, w0 = jax.jit(_edges_pre, static_argnames="cfg")(BAConfig(), X, C, edges0)
+    edges0 = edges0._replace(XiT=XiT, w0=w0)
+    odom0 = empty_odom_edges(1)
+    s_bar = jnp.full((window,), -1.0, jnp.float32)
+
+    rng = np.random.default_rng(0)
+    feat_i = jnp.asarray(rng.normal(size=(1, 576, cfg.enc_embed_dim)).astype(np.float32))
+    feat_j = jnp.asarray(rng.normal(size=(1, 576, cfg.enc_embed_dim)).astype(np.float32))
+    yy, xx = np.meshgrid(np.arange(h // 16), np.arange(w // 16), indexing="ij")
+    pos = jnp.asarray(np.stack([yy, xx], -1).reshape(1, 576, 2), jnp.int32)
+
+    ms = timeit("backend match_symmetric (pair)", lambda: match_symmetric(
+        params, cfg, match_cfg_d, feat_i, pos, feat_j, pos, (h, w)),
+        n=5, fetch_base=fetch_base)
+    (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = ms
+
+    n_one = jnp.ones((1,), jnp.int32)
+    ing = timeit("backend _ingest_pairs", lambda: _ingest_pairs(
+        jnp.float32(1.5), jnp.float32(1.5), jnp.float32(0.0),
+        X[0:1], C[0:1], n_one, X[1:2], C[1:2], n_one,
+        idx_i2j.astype(jnp.int32), idx_j2i.astype(jnp.int32),
+        vm_j, vm_i, Qii, Qjj, Qji, Qij), n=5, fetch_base=fetch_base)
+    (Qj, Qi, valid_j, valid_i, fracs, XiT_r0, w0_r0, XiT_r1, w0_r1) = ing
+
+    noise = (jax.random.normal(jax.random.PRNGKey(3), (window, 7))
+             * jnp.array([0.05] * 3 + [0.02] * 3 + [0.01])).at[0].set(0.0).astype(jnp.float32)
+    T_init = jax.vmap(lie.sim3_retr)(T_true, noise)
+    timeit("backend solve_gn_rays (window 64)", lambda: solve_gn_rays(
+        ba_cfg, 1, T_init, X, C, edges0, odom0, s_bar), n=5, fetch_base=fetch_base)
+
 
 if __name__ == "__main__":
     main()

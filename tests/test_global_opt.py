@@ -247,3 +247,38 @@ def test_local_factor_graph_window():
     assert bool(g.edges.active[:4].all())
     g.enforce_window(newest=5)  # window [3..5]: evicts everything touching <3
     assert g._pairs == []
+
+
+def test_cached_edge_inputs_match_fallback():
+    """Edges.XiT/w0 (the insertion-time cache the backend maintains) must
+    produce the same solve as the on-the-fly fallback (_edges_pre)."""
+    from frodo_slam_tpu.slam.global_opt import BAConfig, _edges_pre
+
+    n_kf, hw = 4, 512
+    T_true, X = _make_world(jax.random.PRNGKey(2), n_kf, hw)
+    T_true = T_true.astype(jnp.float32)
+    X = X.astype(jnp.float32)
+    C = jnp.full((n_kf, hw, 1), 5.0, jnp.float32)
+    edges = _consecutive_edges(n_kf, hw)
+    # non-trivial gates so the cache carries real information
+    kq, kv = jax.random.split(jax.random.PRNGKey(9))
+    edges = edges._replace(
+        Q=jax.random.uniform(kq, edges.Q.shape, minval=0.0, maxval=4.0).astype(jnp.float32),
+        valid=jax.random.uniform(kv, edges.valid.shape) > 0.1,
+    )
+    odom = empty_odom_edges(1)
+    s_bar = jnp.full((n_kf,), -1.0, jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(4), (n_kf, 7))
+        * jnp.asarray([0.05] * 3 + [0.02] * 3 + [0.01])
+    ).astype(jnp.float32)
+    T0 = jax.vmap(lie.sim3_retr)(T_true, noise)
+    cfg = BAConfig()
+
+    T_fallback = solve_gn_rays(cfg, 1, T0, X, C, edges, odom, s_bar)
+
+    XiT, w0 = _edges_pre(cfg, X, C, edges)
+    cached = edges._replace(XiT=XiT.astype(jnp.float32), w0=w0.astype(jnp.float32))
+    T_cached = solve_gn_rays(cfg, 1, T0, X, C, cached, odom, s_bar)
+
+    np.testing.assert_allclose(T_cached, T_fallback, rtol=1e-5, atol=1e-5)
