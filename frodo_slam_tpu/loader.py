@@ -65,21 +65,30 @@ def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
         sd = {k: np.asarray(v.float().numpy()) for k, v in ckpt["model"].items() if hasattr(v, "numpy")}
         head = RetrievalHead(convert_retrieval_checkpoint(sd), nfeat=300)
-        cb_file = codebook_path or str(pathlib.Path(path).parent / (
-            "_".join(pathlib.Path(path).name.split("_")[:-1]) + "_codebook.pkl"))
-        if pathlib.Path(cb_file).exists():
-            import pickle
 
-            with open(cb_file, "rb") as f:
-                cb_data = pickle.load(f)
-            centroids = np.asarray(
-                cb_data["centroids"] if isinstance(cb_data, dict) else cb_data.centroids
-            )
-            return RetrievalDatabase(head, Codebook(centroids))
-    warnings.warn("retrieval checkpoint/codebook not found; using random "
-                  "retrieval head + codebook (loop closures will be random)")
-    head = head or RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
-                                      hdims=[min(1024, model_cfg.enc_embed_dim)], nfeat=300)
+    # the codebook loads independently of the head checkpoint: a
+    # self-trained one (scripts/train_codebook.py) pairs with the
+    # deterministic random-init head it was trained against
+    cb_file = codebook_path or str(pathlib.Path(path).parent / (
+        "_".join(pathlib.Path(path).name.split("_")[:-1]) + "_codebook.pkl"))
+    centroids = None
+    if pathlib.Path(cb_file).exists():
+        import pickle
+
+        with open(cb_file, "rb") as f:
+            cb_data = pickle.load(f)
+        centroids = np.asarray(
+            cb_data["centroids"] if isinstance(cb_data, dict) else cb_data.centroids
+        )
+
+    if head is None:
+        if centroids is None:
+            warnings.warn("retrieval checkpoint/codebook not found; using random "
+                          "retrieval head + codebook (loop closures will be random)")
+        head = RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
+                                  hdims=[min(1024, model_cfg.enc_embed_dim)], nfeat=300)
+    if centroids is not None:
+        return RetrievalDatabase(head, Codebook(centroids))
     dim = 1024 if head.params["projector"]["final"] is None else head.params["projector"]["final"]["w"].shape[1]
     cb = Codebook.random(np.random.default_rng(0), 4096, int(dim))
     # degraded=True: eval runs must record the random fallback (VERDICT:

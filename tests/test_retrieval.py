@@ -128,3 +128,35 @@ def test_native_kernels_match_numpy():
     scores_ref = np.zeros(3)
     np.add.at(scores_ref, imids[mask], sim[mask] ** 3 / np.sqrt(norm[imids[mask]]))
     np.testing.assert_allclose(scores_native, scores_ref, rtol=1e-6)
+
+
+def test_trained_codebook_roundtrip(tmp_path):
+    """scripts/train_codebook.py output loads through loader.load_retriever
+    as a NON-degraded database, independent of the head checkpoint."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from train_codebook import minibatch_kmeans
+
+    from frodo_slam_tpu import loader
+    from frodo_slam_tpu.models import mast3r
+
+    rng = np.random.default_rng(0)
+    cfg = mast3r.tiny_config()
+    head = loader.load_retriever(cfg).head  # deterministic random-init head
+    dim = head.params["projector"]["final"]["w"].shape[1] \
+        if head.params["projector"]["final"] is not None else 1024
+
+    feats = rng.normal(size=(2000, dim)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    centroids = minibatch_kmeans(rng, feats, k=64, iters=5, batch=512)
+    assert centroids.shape == (64, dim)
+    np.testing.assert_allclose(np.linalg.norm(centroids, axis=1), 1.0, atol=1e-5)
+
+    cb_file = tmp_path / "my_codebook.pkl"
+    with open(cb_file, "wb") as f:
+        pickle.dump({"centroids": centroids}, f)
+    db = loader.load_retriever(cfg, codebook_path=str(cb_file))
+    assert not db.degraded
+    assert db.codebook.size == 64
