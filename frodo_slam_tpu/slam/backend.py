@@ -37,30 +37,13 @@ from .global_opt import (
 from .inference import match_symmetric
 
 
-@partial(jax.jit, static_argnames=())
-def _gate_pairs(idx_i2j, idx_j2i, valid_match_j, valid_match_i, Qii, Qjj, Qji, Qij,
-                q_conf):
-    """Combined confidences + bidirectional gating in ONE dispatch
-    (global_opt_bk0.py:107-147). Eager per-op execution of this block cost
-    seconds per keyframe through the remote-TPU tunnel."""
-    bi = jnp.arange(idx_i2j.shape[0])[:, None]
-    Qj = jnp.sqrt(Qii[bi, idx_i2j] * Qji)
-    Qi = jnp.sqrt(Qjj[bi, idx_j2i] * Qij)
-    valid_j = valid_match_j & (Qj > q_conf)
-    valid_i = valid_match_i & (Qi > q_conf)
-    fracs = jnp.stack(
-        [valid_j.mean(axis=(1, 2)), valid_i.mean(axis=(1, 2))], axis=-1
-    )  # (N, 2) — the ONLY host fetch add_factors needs
-    return Qj, Qi, valid_j, valid_i, fracs
-
-
 @partial(jax.jit, donate_argnums=(0,))
 def _write_pair_rows(edges: Edges, r0, i, j, idx_i2j, idx_j2i,
                      valid_j, valid_i, Qj, Qi, cache=None):
     """Write both directed rows of one pair in ONE donated dispatch — a
     chain of eager .at[].set() calls copied the full padded edge buffers
     (tens of MB) once per field. ``cache``: optional
-    (XiT_r0, w0_r0, XiT_r1, w0_r1) from :func:`_pair_cache` — the edge's
+    (XiT_r0, w0_r0, XiT_r1, w0_r1) from :func:`_ingest_pairs` — the edge's
     pose-independent solver inputs (see Edges docstring)."""
     r1 = r0 + 1
     XiT, w0 = edges.XiT, edges.w0
