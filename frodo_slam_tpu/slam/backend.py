@@ -404,7 +404,8 @@ class BackendGraph:
         if win is None:
             return None
         uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb = win
-        T_new = solve_gn_rays(self.cfg, self.cfg.pin, T_win, X_win, C_win, edges_win, odom_win, sb)
+        T_new = solve_gn_rays(self.cfg, self.cfg.pin, T_win, X_win, C_win,
+                              edges_win, odom_win, sb, mesh=self.mesh)
         return uniq, p, T_new
 
     def solve_window_calib(self, store: KeyframeStore, K: jnp.ndarray,
@@ -418,7 +419,8 @@ class BackendGraph:
         uniq, p, T_win, X_win, C_win, edges_win, odom_win, sb = win
         X_win = geometry.constrain_points_to_ray(self.img_hw, X_win, K)
         T_new = solve_gn_calib(self.cfg, self.cfg.pin, self.img_hw, T_win,
-                               X_win, C_win, jnp.asarray(K), edges_win, odom_win, sb)
+                               X_win, C_win, jnp.asarray(K), edges_win,
+                               odom_win, sb, mesh=self.mesh)
         return uniq, p, T_new
 
     def solve_GN_rays(self, store: KeyframeStore, s_bar: Optional[np.ndarray] = None) -> KeyframeStore:

@@ -214,16 +214,18 @@ def _edge_inputs(cfg: BAConfig, X, C, edges: Edges):
     return XiT, w0, XjT
 
 
-def _pallas_ray_systems(cfg: BAConfig, edges: Edges, XiT, w0, XjT):
+def _pallas_ray_fn(cfg: BAConfig):
     """Ray edge systems via the fused Pallas reduction
     (ops/ba_reduce_pallas.py): per GN iteration, ONE kernel launch streams
     every edge's points through VMEM; only the tiny per-edge Sim3 scalars
-    and the 7x7 AdjInv transforms run as jnp ops."""
+    and the 7x7 AdjInv transforms run as jnp ops. Returns
+    ``fn(T, xs) -> (A_all, gj_all)`` with xs = (ii, jj, XiT, w0, XjT)."""
     from ..ops.ba_reduce_pallas import ray_edge_systems_pallas
 
-    def edge_systems(T_WC_in):
-        Ti = T_WC_in[edges.ii]
-        Tj = T_WC_in[edges.jj]
+    def fn(T_WC_in, xs):
+        ii, jj, XiT, w0, XjT = xs
+        Ti = T_WC_in[ii]
+        Tj = T_WC_in[jj]
         Tij = jax.vmap(lie.sim3_rel)(Ti, Tj)
         R = jax.vmap(lie.quat_to_R)(Tij[:, 3:7])
         sR = Tij[:, 7, None, None] * R
@@ -240,7 +242,7 @@ def _pallas_ray_systems(cfg: BAConfig, edges: Edges, XiT, w0, XjT):
         gj = jnp.einsum("eba,eb->ea", M, g)
         return A.astype(T_WC_in.dtype), gj.astype(T_WC_in.dtype)
 
-    return edge_systems
+    return fn
 
 
 def _edge_points(T_WC, edge_ii, edge_jj, Xj):
@@ -425,26 +427,76 @@ def _scatter_block(H, g, blocks, gvecs, ii_opt, jj_opt, p_opt):
     return H, g
 
 
-def _map_edge_systems(cfg: BAConfig, edge_xs, edge_system):
+def _xla_edge_fn(cfg: BAConfig, edge_system):
     """The jnp ray/calib/point edge path: map ``edge_system(T, xs_e)`` over
     contiguous ``map_batch`` chunks of per-edge DATA (``lax.map`` dynamic-
     slices the chunk; mapping over *indices* instead re-materializes the
-    big gathers inside the loop, which measured ~4x slower)."""
-    e_total = jax.tree.leaves(edge_xs)[0].shape[0]
-    bs = max(1, min(cfg.map_batch, e_total))
+    big gathers inside the loop, which measured ~4x slower). Returns
+    ``fn(T, xs) -> (A_all, gj_all)`` vectorized over whatever edge count
+    ``xs`` carries (the sharded path hands it one shard)."""
 
-    def edge_systems(T_WC_in):
+    def fn(T_WC_in, xs):
+        e_total = jax.tree.leaves(xs)[0].shape[0]
+        bs = max(1, min(cfg.map_batch, e_total))
         return jax.lax.map(
-            lambda xs_e: edge_system(T_WC_in, xs_e), edge_xs, batch_size=bs
+            lambda xs_e: edge_system(T_WC_in, xs_e), xs, batch_size=bs
         )
 
-    return edge_systems
+    return fn
 
 
 def _resolve_edge_impl(cfg: BAConfig) -> str:
     if cfg.edge_impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return cfg.edge_impl
+
+
+def _build_edge_systems(mesh, xs, fn):
+    """``edge_systems(T) -> (A (E,7,7), gj (E,7))`` from a vectorized
+    per-edge ``fn(T, xs)``, optionally sharded over the device mesh.
+
+    Multi-chip: the edge reduction is the solve's heavy compute (E x HW
+    points streamed per GN iteration); edges split across EVERY mesh device
+    (dp x tp — the 7x7 outputs are layout-agnostic, so both axes are just
+    more workers here), poses stay replicated, and the tiny per-edge
+    systems (E x 56 floats) are all-gathered so the dense assembly +
+    Cholesky run replicated. Collectives ride ICI; this is the TPU-native
+    replacement for the reference's 'backend on a second GPU'
+    (run_vio.py:111-114)."""
+    if mesh is None:
+        return lambda T: fn(T, xs)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    E = jax.tree.leaves(xs)[0].shape[0]
+    names = tuple(mesh.axis_names)
+    n_all = 1
+    for a in names:
+        n_all *= int(mesh.shape[a])
+    if E % n_all == 0:
+        axes = names
+    elif E % int(mesh.shape[names[0]]) == 0:
+        axes = (names[0],)
+    else:
+        return lambda T: fn(T, xs)  # indivisible edge count: run replicated
+
+    def spec(a):
+        return P(axes, *([None] * (a.ndim - 1)))
+
+    def wrapped(T, xs_shard):
+        A, gj = fn(T, xs_shard)
+        A = jax.lax.all_gather(A, axes, axis=0, tiled=True)
+        gj = jax.lax.all_gather(gj, axes, axis=0, tiled=True)
+        return A, gj
+
+    sm = shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(P(), jax.tree.map(spec, xs)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return lambda T: sm(T, xs)
 
 
 def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
@@ -550,7 +602,7 @@ def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
     return T_final
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_fix"))
+@partial(jax.jit, static_argnames=("cfg", "num_fix", "mesh"))
 def solve_gn_rays(
     cfg: BAConfig,
     num_fix: int,
@@ -560,6 +612,7 @@ def solve_gn_rays(
     edges: Edges,
     odom: OdomEdges,
     s_bar: jax.Array,  # (P,) scale-prior targets, <=0 disables (global_opt.py:212-224)
+    mesh=None,  # optional jax.sharding.Mesh: edges shard across devices
 ):
     """Global ray-alignment GN with odometry factors and scale priors.
 
@@ -570,7 +623,8 @@ def solve_gn_rays(
     XiT, w0, XjT = _edge_inputs(cfg, X, C, edges)
 
     if _resolve_edge_impl(cfg) == "pallas":
-        edge_systems = _pallas_ray_systems(cfg, edges, XiT, w0, XjT)
+        xs = (edges.ii, edges.jj, XiT, w0, XjT)
+        fn = _pallas_ray_fn(cfg)
     else:
         xs = (edges.ii, edges.jj, jnp.swapaxes(XiT, 1, 2), w0,
               jnp.swapaxes(XjT, 1, 2))
@@ -579,12 +633,13 @@ def solve_gn_rays(
             ii, jj, Xi_e, w0_e, Xj_e = xs_e
             return _ray_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
 
-        edge_systems = _map_edge_systems(cfg, xs, edge_system)
+        fn = _xla_edge_fn(cfg, edge_system)
 
+    edge_systems = _build_edge_systems(mesh, xs, fn)
     return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_systems)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_fix", "img_hw"))
+@partial(jax.jit, static_argnames=("cfg", "num_fix", "img_hw", "mesh"))
 def solve_gn_calib(
     cfg: BAConfig,
     num_fix: int,
@@ -596,6 +651,7 @@ def solve_gn_calib(
     edges: Edges,
     odom: OdomEdges,
     s_bar: jax.Array,
+    mesh=None,
 ):
     """Calibrated pixel + log-depth global GN (gauss_newton_calib_cuda,
     gn_kernels.cu:2610-2702; driver global_opt.py:288-341). The reference's
@@ -612,11 +668,11 @@ def solve_gn_calib(
             cfg, img_hw, K, T_WC_in, ii, jj, idx, Xi_e, w0_e, Xj_e
         )
 
-    edge_systems = _map_edge_systems(cfg, xs, edge_system)
+    edge_systems = _build_edge_systems(mesh, xs, _xla_edge_fn(cfg, edge_system))
     return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_systems)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_fix"))
+@partial(jax.jit, static_argnames=("cfg", "num_fix", "mesh"))
 def solve_gn_points(
     cfg: BAConfig,
     num_fix: int,
@@ -626,6 +682,7 @@ def solve_gn_points(
     edges: Edges,
     odom: OdomEdges,
     s_bar: jax.Array,
+    mesh=None,
 ):
     """3-D point-alignment global GN (gauss_newton_points_cuda,
     gn_kernels.cu:2206-2293; exported at gn.cpp:152-160, driven by the
@@ -639,5 +696,5 @@ def solve_gn_points(
         ii, jj, Xi_e, w0_e, Xj_e = xs_e
         return _point_edge_system(cfg, T_WC_in, ii, jj, Xi_e, w0_e, Xj_e)
 
-    edge_systems = _map_edge_systems(cfg, xs, edge_system)
+    edge_systems = _build_edge_systems(mesh, xs, _xla_edge_fn(cfg, edge_system))
     return _solve_gn(cfg, num_fix, T_WC, edges, odom, s_bar, edge_systems)

@@ -282,3 +282,37 @@ def test_cached_edge_inputs_match_fallback():
     T_cached = solve_gn_rays(cfg, 1, T0, X, C, cached, odom, s_bar)
 
     np.testing.assert_allclose(T_cached, T_fallback, rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_sharded_solve_matches_replicated():
+    """solve_gn_rays(mesh=...) shards edges across all mesh devices
+    (shard_map + all_gather of the per-edge systems); it must produce the
+    same GN trajectory as the replicated solve."""
+    from frodo_slam_tpu.parallel.mesh import make_mesh
+    from frodo_slam_tpu.slam.global_opt import BAConfig
+
+    n_kf, hw = 5, 512
+    T_true, X = _make_world(jax.random.PRNGKey(6), n_kf, hw)
+    T_true = T_true.astype(jnp.float32)
+    X = X.astype(jnp.float32)
+    C = jnp.full((n_kf, hw, 1), 5.0, jnp.float32)
+    edges = _consecutive_edges(n_kf, hw)  # E = 8 directed rows = mesh size
+    odom = empty_odom_edges(1)
+    s_bar = jnp.full((n_kf,), -1.0, jnp.float32)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(8), (n_kf, 7))
+        * jnp.asarray([0.05] * 3 + [0.02] * 3 + [0.01])
+    ).astype(jnp.float32)
+    T0 = jax.vmap(lie.sim3_retr)(T_true, noise)
+    cfg = BAConfig(edge_impl="xla")
+
+    T_rep = solve_gn_rays(cfg, 1, T0, X, C, edges, odom, s_bar)
+
+    mesh = make_mesh(dp=4, tp=2)
+    T_sh = solve_gn_rays(cfg, 1, T0, X, C, edges, odom, s_bar, mesh=mesh)
+    np.testing.assert_allclose(T_sh, T_rep, rtol=1e-5, atol=1e-5)
+
+    # indivisible edge count falls back to the replicated path
+    edges3 = jax.tree.map(lambda a: a[:6] if a.shape[0] == 8 else a, edges)
+    T_sh3 = solve_gn_rays(cfg, 1, T0, X, C, edges3, odom, s_bar, mesh=mesh)
+    assert np.all(np.isfinite(np.asarray(T_sh3)))
