@@ -50,6 +50,23 @@ def ransac_plane(pts: jax.Array, key: jax.Array, iterations: int = 1000,
     return plane, inliers[best]
 
 
+def corners_from_mask_file(path: str) -> Tuple:
+    """Load the reference's pickled ground-region selection
+    (config/rect_mask.pkl: a (2, 2) [[x0, y0], [x1, y1]] array;
+    config/polygon_mask.pkl: an (N, 2) vertex polygon, reduced to its
+    bounding box — the estimator's region is rectangular)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        arr = np.asarray(pickle.load(f))
+    if arr.shape == (2, 2):
+        (x0, y0), (x1, y1) = arr
+    else:  # polygon vertices
+        x0, y0 = arr.min(axis=0)
+        x1, y1 = arr.max(axis=0)
+    return ((int(x0), int(y0)), (int(x1), int(y1)))
+
+
 class RectanglePlaneEstimator:
     """Headless equivalent of the reference estimator.
 

@@ -149,6 +149,13 @@ class SLAM:
         if rect:
             (x0, y0), (x1, y1) = rect
             corners = ((int(x0), int(y0)), (int(x1), int(y1)))
+        mask_file = hp.get("mask_file", None)
+        if corners is None and mask_file:
+            # the reference's interactively-picked pickled region
+            # (height_prior.py:36-43 + config/rect_mask.pkl)
+            from .height_prior import corners_from_mask_file
+
+            corners = corners_from_mask_file(str(mask_file))
         self.plane_estimator = RectanglePlaneEstimator(
             corners=corners,
             max_tilt_deg=float(hp.tilt_max_deg), ransac_iterations=int(hp.ransac_iters),

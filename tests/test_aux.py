@@ -338,3 +338,21 @@ def test_pgo_full_sim3_pulls_poses_to_measurements():
     assert np.all(np.isfinite(np.asarray(T_new)))
     c1 = cost(T_new)
     assert c1 < 0.05 * c0, (c0, c1)
+
+
+def test_height_prior_mask_file(tmp_path):
+    """corners_from_mask_file reads both reference pickle formats:
+    (2,2) rectangle corners and (N,2) polygon vertices (bounding box)."""
+    import pickle
+
+    from frodo_slam_tpu.slam.height_prior import corners_from_mask_file
+
+    rect = np.array([[115, 230], [424, 286]])
+    p1 = tmp_path / "rect_mask.pkl"
+    pickle.dump(rect, open(p1, "wb"))
+    assert corners_from_mask_file(str(p1)) == ((115, 230), (424, 286))
+
+    poly = np.array([[388, 211], [91, 208], [88, 272], [383, 272], [387, 210]])
+    p2 = tmp_path / "polygon_mask.pkl"
+    pickle.dump(poly, open(p2, "wb"))
+    assert corners_from_mask_file(str(p2)) == ((88, 208), (388, 272))
