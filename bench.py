@@ -35,6 +35,7 @@ per-keyframe sync in the real system and is timed where it happens.
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -118,6 +119,24 @@ def _steady_state_window(hw, n_poses):
 
 def main():
     tiny = bool(os.environ.get("FRODO_BENCH_TINY"))
+    # Fail FAST when the backend cannot initialize: the remote-TPU tunnel
+    # hangs indefinitely at backend init when wedged (BENCH_r02 post-mortem
+    # — rc=1 only after importing the full pipeline; a wedged tunnel must
+    # yield a bounded, parseable artifact). The probe runs in a killable
+    # subprocess; on failure print ONE diagnosable JSON line and exit 1.
+    from frodo_slam_tpu.utils.backend_probe import ensure_backend_reachable
+
+    try:
+        ensure_backend_reachable()
+    except RuntimeError as e:
+        print(json.dumps({
+            "metric": "e2e_fps_tiny" if tiny else "e2e_fps_vitL_288x512",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"backend unavailable: {e}",
+        }))
+        sys.exit(1)
     if tiny:
         mcfg, (h, w), n_frames, window = mast3r.tiny_config(), (32, 64), 8, 8
     else:

@@ -102,7 +102,9 @@ def save_keyframes(savedir, timestamps, images: Sequence[np.ndarray]) -> None:
 
 def load_tum_traj(path) -> tuple[np.ndarray, np.ndarray]:
     """Returns (timestamps (N,), xyz (N,3)) from a TUM-format file."""
-    data = np.loadtxt(path, comments="#")
+    # ndmin: np.loadtxt squeezes a single-pose file to 1-D (a short map
+    # after a tracking-loss reset is legitimate output, not an error)
+    data = np.loadtxt(path, comments="#", ndmin=2)
     return data[:, 0], data[:, 1:4]
 
 

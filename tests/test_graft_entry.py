@@ -1,0 +1,108 @@
+"""Driver entry-point hardening tests (MULTICHIP_r01/r02 post-mortems).
+
+The scoreboard's multi-chip check was red two rounds running for
+entry-point reasons: the parent process initialized the (wedged) remote-TPU
+backend before deciding it needed a virtual-CPU child. These tests pin the
+contract: the parent NEVER initializes a backend, first device contact in
+bench/entry is a bounded killable probe, and the dryrun completes end to
+end on a tunnel-less host.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_probe_ok_on_cpu(monkeypatch):
+    from frodo_slam_tpu.utils import backend_probe
+
+    # The axon sitecustomize rides PYTHONPATH and force-registers the
+    # remote-TPU platform in every child regardless of env JAX_PLATFORMS —
+    # the probe inheriting that is CORRECT (it must resolve the platform the
+    # caller would get). To test the healthy path hermetically, drop it.
+    monkeypatch.setenv("PYTHONPATH", "")
+    n, platform = backend_probe.probe_backend(timeout_s=120)
+    assert platform == "cpu" and n >= 1
+
+
+def test_probe_times_out_bounded(monkeypatch):
+    """A hanging backend init must become a fast RuntimeError, not a hang."""
+    from frodo_slam_tpu.utils import backend_probe
+
+    monkeypatch.setattr(backend_probe, "_PROBE_CODE", "import time; time.sleep(60)")
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="timed out"):
+        backend_probe.probe_backend(timeout_s=2)
+    assert time.monotonic() - t0 < 20
+
+
+def test_ensure_reachable_noop_when_initialized():
+    """The test harness already holds a live CPU backend; ensure_* must not
+    spawn a probe subprocess then (first contact can no longer hang)."""
+    from frodo_slam_tpu.utils import backend_probe
+
+    assert backend_probe.backend_already_initialized()
+    backend_probe.ensure_backend_reachable(timeout_s=0.001)  # would raise if probed
+
+
+def test_dryrun_parent_source_never_touches_devices():
+    """Structural guard: dryrun_multichip may call jax.devices() only inside
+    its two guarded branches (the forced-CPU child, or after
+    backend_already_initialized() proves first contact cannot hang). Any
+    unguarded jax.devices() in the parent path would reintroduce the
+    MULTICHIP_r02 hang."""
+    import inspect
+
+    import __graft_entry__ as g
+
+    src = inspect.getsource(g.dryrun_multichip)
+    head, _, _ = src.partition("FRODO_DRYRUN_CHILD")
+    assert "jax.devices" not in head, "parent path touches jax.devices before the child guard"
+    guarded = src.split("FRODO_DRYRUN_CHILD", 1)[1]
+    assert "backend_already_initialized" in guarded
+
+
+def test_dryrun_multichip_end_to_end_subprocess():
+    """The full driver flow on a host whose default platform is a (possibly
+    wedged) TPU tunnel: the parent must re-exec a virtual-CPU child and
+    return 0 without ever contacting the tunnel. Uses the same persistent
+    child compile cache as the driver, so this doubles as cache pre-warm."""
+    env = dict(os.environ)
+    # undo the conftest's CPU forcing for the parent: the point is that the
+    # parent works even when the configured platform is the axon tunnel
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
+def test_bench_fails_fast_with_json_error(monkeypatch):
+    """bench.py on an unreachable backend: one parseable JSON line, rc=1,
+    bounded wall time."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "nonexistent_platform"
+    env["FRODO_BACKEND_PROBE_TIMEOUT"] = "30"
+    env["FRODO_BENCH_TINY"] = "1"
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert time.monotonic() - t0 < 100
+    assert proc.returncode == 1
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["value"] == 0.0 and "error" in rec
