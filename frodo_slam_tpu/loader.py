@@ -49,6 +49,20 @@ def load_mast3r(path: Optional[str] = None, cfg: Optional[mast3r.MASt3RConfig] =
     return mast3r.cast_transformer_params(params, cfg.dtype), cfg
 
 
+def head_fingerprint(head) -> str:
+    """Deterministic digest of the retrieval-head params. Stored into the
+    codebook pickle by scripts/train_codebook.py so a codebook can be
+    verified against the head it was trained for — a trained codebook
+    silently pairing with a different head (e.g. a random-init one) must be
+    flagged degraded, not recorded as real retrieval (ADVICE r2)."""
+    import hashlib
+
+    md = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(head.params):
+        md.update(np.asarray(leaf, np.float32).tobytes())
+    return md.hexdigest()[:16]
+
+
 def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
                    codebook_path: Optional[str] = None):
     """Returns a RetrievalDatabase, or None when retrieval assets are
@@ -72,6 +86,7 @@ def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
     cb_file = codebook_path or str(pathlib.Path(path).parent / (
         "_".join(pathlib.Path(path).name.split("_")[:-1]) + "_codebook.pkl"))
     centroids = None
+    cb_data = None
     if pathlib.Path(cb_file).exists():
         import pickle
 
@@ -81,6 +96,7 @@ def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
             cb_data["centroids"] if isinstance(cb_data, dict) else cb_data.centroids
         )
 
+    head_is_random = head is None
     if head is None:
         if centroids is None:
             warnings.warn("retrieval checkpoint/codebook not found; using random "
@@ -88,7 +104,23 @@ def load_retriever(model_cfg: mast3r.MASt3RConfig, path: Optional[str] = None,
         head = RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
                                   hdims=[min(1024, model_cfg.enc_embed_dim)], nfeat=300)
     if centroids is not None:
-        return RetrievalDatabase(head, Codebook(centroids))
+        # verify the codebook was trained against THIS head. Pickles written
+        # by scripts/train_codebook.py carry the trainer head's fingerprint;
+        # reference-shipped pickles don't — those are trusted only when the
+        # head itself came from a real checkpoint (same provenance).
+        fp = cb_data.get("head_fingerprint") if isinstance(cb_data, dict) else None
+        if fp is not None:
+            matched = fp == head_fingerprint(head)
+        else:
+            matched = None if head_is_random else True
+        if matched is not True:
+            warnings.warn(
+                f"codebook {cb_file} was not trained against the loaded "
+                f"retrieval head ({'fingerprint mismatch' if matched is False else 'no fingerprint; head is random-init'}); "
+                "marking retrieval degraded"
+            )
+        return RetrievalDatabase(head, Codebook(centroids),
+                                 degraded=matched is not True)
     dim = 1024 if head.params["projector"]["final"] is None else head.params["projector"]["final"]["w"].shape[1]
     cb = Codebook.random(np.random.default_rng(0), 4096, int(dim))
     # degraded=True: eval runs must record the random fallback (VERDICT:

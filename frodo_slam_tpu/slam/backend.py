@@ -271,12 +271,7 @@ class BackendGraph:
         evict the oldest pair when full (ring semantics)."""
         pair_slot = len(self._pairs)
         if pair_slot >= self.max_edges:
-            # evict oldest non-consecutive first, else oldest
-            evict = 0
-            for k, (pi, pj) in enumerate(self._pairs):
-                if pi != pj - 1:
-                    evict = k
-                    break
+            evict = self._pick_evict()
             self._pairs.pop(evict)
             self._shift_rows(evict)
             pair_slot = len(self._pairs)
@@ -285,6 +280,20 @@ class BackendGraph:
             self.edges, jnp.int32(2 * pair_slot), jnp.int32(i), jnp.int32(j),
             idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi, cache=cache,
         )
+
+    def _pick_evict(self) -> int:
+        """Eviction under capacity pressure: loop-closure edges are scarce
+        and precious (the reference keeps ALL edges for live keyframes,
+        global_opt.py:24-37) while old consecutive edges between neighbors
+        that have been jointly optimized for many solves carry the least
+        new information. Prefer the oldest CONSECUTIVE pair that does not
+        touch the most recent keyframes; fall back to the globally oldest
+        pair (e.g. when everything left is a loop closure)."""
+        newest = max(max(i, j) for i, j in self._pairs)
+        for k, (pi, pj) in enumerate(self._pairs):
+            if pi == pj - 1 and pj < newest - 1:
+                return k
+        return 0
 
     def _shift_rows(self, pair_idx: int):
         """Compact padded rows after evicting pair ``pair_idx``."""
@@ -358,10 +367,23 @@ class BackendGraph:
         X_win = store.X_canon[slots]
         C_win = store.C[slots] / jnp.maximum(store.N[slots], 1)[:, None, None].astype(store.C.dtype)
 
+        # Bucket the edge rows handed to the solver: live pairs are always
+        # compacted to the FRONT of the padded arrays (_shift_rows /
+        # remove_dead_edges), so slicing to a power-of-two bucket decouples
+        # the solve cost (streams every handed row) from the store CAPACITY
+        # (tpu.max_edges, sized for long sequences). Recompiles stay bounded
+        # (one program per bucket size).
+        ebucket = 8
+        while ebucket < len(self._pairs):
+            ebucket *= 2
+        ebucket = min(ebucket, self.max_edges)
+        rows = 2 * ebucket
+        edges_sl = jax.tree.map(lambda a: a[:rows], self.edges)
+
         # edge indices -> window positions (padded rows point at 0 but are inactive)
-        e_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(self.edges.ii)]
-        e_jj = [kf_to_win.get(int(v), 0) for v in np.asarray(self.edges.jj)]
-        edges_win = self.edges._replace(
+        e_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(edges_sl.ii)]
+        e_jj = [kf_to_win.get(int(v), 0) for v in np.asarray(edges_sl.jj)]
+        edges_win = edges_sl._replace(
             ii=jnp.asarray(e_ii, jnp.int32), jj=jnp.asarray(e_jj, jnp.int32)
         )
         o_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(self.odom.ii)]

@@ -205,7 +205,12 @@ def _edges_pre(cfg: BAConfig, X, C, edges: Edges):
 def _edge_inputs(cfg: BAConfig, X, C, edges: Edges):
     """Per-edge solver inputs: the cached (XiT, w0) when the edge store
     carries them, else the on-the-fly fallback; plus frame j's points as
-    contiguous channel-major slices (cheap — no row gather)."""
+    contiguous channel-major slices (cheap — no row gather).
+
+    NOTE: the cache snapshots INSERTION-TIME Xi. For the calib solve the
+    caller ray-constrains X first, which changes Xi's x/y but not its
+    depth — valid only while _calib_edge_system keeps its depth-only
+    contract on Xi (see its docstring)."""
     if edges.XiT is not None:
         XiT, w0 = edges.XiT, edges.w0
     else:
@@ -295,7 +300,16 @@ def _calib_edge_system(cfg: BAConfig, img_hw, K, T_WC, edge_ii, edge_jj,
     gn_kernels.cu:2295-2608): residual = [u - u_meas, v - v_meas,
     log z_j - log z_i] with pinhole K; validity additionally requires both
     depths > z_eps and the projection within the pixel border (the
-    pose-dependent part of the gate; the rest is baked into ``w0``)."""
+    pose-dependent part of the gate; the rest is baked into ``w0``).
+
+    INVARIANT — Xi is depth-only here: ``Xi`` may be the cached
+    insertion-time snapshot (Edges.XiT), which is NOT ray-constrained,
+    while the caller constrains the live pointmaps before a calib solve
+    (solve_window_calib, reference global_opt.py:298-300). The cache is
+    equivalent only because this kernel consumes Xi exclusively through
+    Xi[:, 2] — the depth, which constrain_points_to_ray preserves exactly.
+    Never read Xi[:, 0:2] in this function; recompute x/y from ``idx`` and
+    K if a future residual needs them."""
     height, width = img_hw
     X = Xi  # dtype anchor
     Ti, P = _edge_points(T_WC, edge_ii, edge_jj, Xj)

@@ -26,6 +26,7 @@ keyframe too, keeping database id == keyframe index.
 from __future__ import annotations
 
 import dataclasses
+import queue
 import threading
 import time
 from typing import List, Optional, Tuple
@@ -175,7 +176,14 @@ class SLAM:
         self.last_odom_pose: Optional[np.ndarray] = None
         self._idx_f2k = None
         self._backend_lock = threading.Lock()
-        self._backend_thread: Optional[threading.Thread] = None
+        # Backend tasks QUEUE and the frontend never blocks on a solve — the
+        # reference contract (tasks pile into a manager list, vio.py:109-115,
+        # frame.py:325-327). One worker thread drains the queue serially;
+        # under sustained overload the oldest pending task is dropped
+        # (bounded memory; the newest keyframes matter most).
+        self._backend_tasks: queue.Queue = queue.Queue()
+        self._backend_queue_max = int(cfg.tpu.get("backend_queue_max", 8))
+        self._backend_worker: Optional[threading.Thread] = None
         self._map_epoch = 0  # bumped on reset(); stale backend merges are dropped
 
     # -- lifecycle -----------------------------------------------------------
@@ -185,7 +193,9 @@ class SLAM:
         buffer, backend/retrieval cleared, mode back to INIT. The finished
         map is retained in ``self.atlas`` (the multi-map behavior of
         main.py:227-239: old keyframe buffers are kept for export)."""
-        self._join_backend()
+        # pending tasks reference the dead map: discard them, wait out only
+        # the in-flight one (its merge is dropped by the epoch guard anyway)
+        self._join_backend(discard_pending=True)
         self._map_epoch += 1
         if int(self.store.n_size) > 0:
             stamps, poses = self.keyframe_poses()
@@ -210,12 +220,52 @@ class SLAM:
     def terminate(self):
         self.mode = Mode.TERMINATED
         self._join_backend()
+        if self._backend_worker is not None:
+            if self._backend_worker.is_alive():
+                self._backend_tasks.put(None)  # stop sentinel
+            self._backend_worker.join()
+            self._backend_worker = None
 
-    def _join_backend(self):
-        """Wait out an in-flight backend task (threaded mode)."""
-        if self._backend_thread is not None:
-            self._backend_thread.join(timeout=30.0)
-            self._backend_thread = None
+    def _join_backend(self, discard_pending: bool = False):
+        """Wait until the backend is idle (queue drained, no task running).
+
+        ``discard_pending`` drops queued-but-unstarted tasks first (used by
+        reset(): they reference the dead map) while still waiting out the
+        in-flight one. Waits WITHOUT a deadline: clearing/mutating state
+        while a task is still running is a data race (a first-solve jit
+        through the remote-TPU tunnel can exceed any fixed timeout); a
+        long-running task is logged every 60s instead of abandoned."""
+        q = self._backend_tasks
+        if discard_pending:
+            while True:
+                try:
+                    task = q.get_nowait()
+                except queue.Empty:
+                    break
+                q.task_done()
+                if task is not None:
+                    log.warning("map reset: discarded pending backend task kf=%s",
+                                task[0])
+        waited = 0.0
+        with q.all_tasks_done:
+            while q.unfinished_tasks:
+                if not q.all_tasks_done.wait(timeout=60.0):
+                    waited += 60.0
+                    log.warning("backend task still running after %.0fs; waiting",
+                                waited)
+
+    def _backend_worker_loop(self):
+        """Drain the task queue serially (run_backend loop, vio.py:86-157)."""
+        while True:
+            task = self._backend_tasks.get()
+            try:
+                if task is None:
+                    return
+                self._backend_step(*task)
+            except Exception:
+                log.exception("backend task kf=%s failed", task[0])
+            finally:
+                self._backend_tasks.task_done()
 
     # -- frame path ----------------------------------------------------------
 
@@ -375,8 +425,21 @@ class SLAM:
         if not uniq:
             return None
         slots = [k % store.capacity for k in uniq]
-        pm = [np.asarray(store.X_canon[s]) for s in slots]
-        sb = scale_targets(self.plane_estimator, pm, self.img_hw, self.camera_height)
+        h, w = self.img_hw
+        pm = []
+        for s in slots:
+            X = np.asarray(store.X_canon[s])
+            if self.portrait:
+                # storage is landscape-transposed; the region selection
+                # (configured rect or the default bottom-center band) is in
+                # TRUE-image pixels — restore portrait orientation before
+                # the ground-plane fit
+                X = np.ascontiguousarray(
+                    X.reshape(h, w, 3).transpose(1, 0, 2)
+                ).reshape(-1, 3)
+            pm.append(X)
+        true_hw = (w, h) if self.portrait else (h, w)
+        sb = scale_targets(self.plane_estimator, pm, true_hw, self.camera_height)
         s_bar = np.full(max(uniq) + 1, -1.0, np.float32)
         for k, v in zip(uniq, sb):
             s_bar[k] = v
@@ -446,13 +509,26 @@ class SLAM:
     def _run_backend(self, idx: int, odom_factor):
         if self.single_thread:
             self._backend_step(idx, odom_factor)
-        else:
-            if self._backend_thread is not None and self._backend_thread.is_alive():
-                self._backend_thread.join()  # one in flight at a time
-            self._backend_thread = threading.Thread(
-                target=self._backend_step, args=(idx, odom_factor), daemon=True
+            return
+        # never block the frontend: enqueue and return (vio.py:333-343).
+        # Bounded queue: drop the oldest pending task under overload.
+        while self._backend_tasks.qsize() >= self._backend_queue_max:
+            try:
+                dropped = self._backend_tasks.get_nowait()
+            except queue.Empty:
+                break
+            self._backend_tasks.task_done()
+            if dropped is not None:
+                log.warning("backend queue full (max=%d): dropped oldest "
+                            "pending task kf=%s",
+                            self._backend_queue_max, dropped[0])
+        if self._backend_worker is None or not self._backend_worker.is_alive():
+            self._backend_worker = threading.Thread(
+                target=self._backend_worker_loop, daemon=True,
+                name="frodo-backend",
             )
-            self._backend_thread.start()
+            self._backend_worker.start()
+        self._backend_tasks.put((idx, odom_factor))
 
     # -- relocalization ---------------------------------------------------------
 

@@ -111,7 +111,10 @@ def main():
     centroids = minibatch_kmeans(rng, allf, args.centroids, iters=args.iters)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as f:
-        pickle.dump({"centroids": centroids}, f)
+        # fingerprint binds this codebook to the head it was trained
+        # against; loader.load_retriever verifies it (mismatch => degraded)
+        pickle.dump({"centroids": centroids,
+                     "head_fingerprint": loader.head_fingerprint(head)}, f)
     print(f"wrote {args.out}: centroids {centroids.shape}")
 
 

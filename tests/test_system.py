@@ -162,7 +162,8 @@ def test_slam_threaded_backend(tiny_model):
         ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(i))
         assert ok and np.all(np.isfinite(pose))
     slam.terminate()
-    assert slam._backend_thread is None or not slam._backend_thread.is_alive()
+    assert slam._backend_tasks.unfinished_tasks == 0
+    assert slam._backend_worker is None
     assert len(slam.backend._pairs) >= 1
     stamps, poses = slam.keyframe_poses()
     assert np.all(np.isfinite(poses))
@@ -233,6 +234,107 @@ def test_slam_threaded_backend_overlaps_tracking(tiny_model):
 
     slam.terminate()
     assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
+
+
+def test_slam_backend_tasks_queue_without_blocking_frontend(tiny_model):
+    """Reference queue semantics (vio.py:109-115, frame.py:325-327): the
+    frontend NEVER waits a full solve per keyframe. With solves taking far
+    longer than the keyframe cadence, per-frame grab_rgb latency must stay
+    bounded (tasks pile up in the pending queue) and every queued task must
+    eventually solve (drained at terminate)."""
+    import threading
+    import time as _time
+
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 16, "max_edges": 32, "max_odom_edges": 8},
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=False)
+
+    solves = []
+    real_solve = slam.backend.solve_window_rays
+
+    def slow_solve(store, s_bar=None):
+        _time.sleep(2.0)  # solve lasts far longer than the keyframe cadence
+        out = real_solve(store, s_bar)
+        solves.append(_time.time())
+        return out
+
+    slam.backend.solve_window_rays = slow_solve
+
+    img = _img(0)
+    ok, _, _ = slam.grab_rgb(img, timestamp=0.0)  # init keyframe (no task)
+    ok, _, new_kf = slam.grab_rgb(img, timestamp=1.0)  # warm programs + task 1
+    assert ok and new_kf
+
+    # every frame becomes a keyframe -> one backend task each; the old
+    # join-before-next behavior would stall each grab_rgb >= the 2s solve.
+    # (grab_rgb itself costs ~0.7s of real tiny-model compute on this
+    # 1-core host, so the discriminating bound sits between that and 2s.)
+    lat = []
+    n_tasks = 3
+    for i in range(n_tasks):
+        t0 = _time.time()
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=2.0 + i)
+        lat.append(_time.time() - t0)
+        assert ok and new_kf and np.all(np.isfinite(pose))
+    assert min(lat) < 1.5, (
+        f"frontend stalled a full solve on every keyframe: latencies {lat}"
+    )
+    assert slam._backend_tasks.qsize() + len(solves) >= 2  # tasks really queued
+
+    slam.terminate()  # drains the queue: every remaining task solves
+    assert slam._backend_tasks.unfinished_tasks == 0
+    assert len(solves) == n_tasks + 1, "queued tasks were lost"
+    assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
+
+
+def test_slam_backend_queue_overload_drops_oldest(tiny_model):
+    """Bounded pending queue: sustained overload drops the OLDEST pending
+    task instead of growing without bound or blocking."""
+    import time as _time
+
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 32, "max_edges": 64, "max_odom_edges": 8,
+             "backend_queue_max": 2},
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=False)
+
+    started = []
+    real_solve = slam.backend.solve_window_rays
+
+    def slow_solve(store, s_bar=None):
+        _time.sleep(0.5)
+        return real_solve(store, s_bar)
+
+    def counting_step(idx, odom_factor, _real=slam._backend_step):
+        started.append(idx)
+        return _real(idx, odom_factor)
+
+    slam.backend.solve_window_rays = slow_solve
+    slam._backend_step = counting_step
+
+    img = _img(0)
+    slam.grab_rgb(img, timestamp=0.0)
+    for i in range(8):
+        ok, _, new_kf = slam.grab_rgb(img, timestamp=1.0 + i)
+        assert ok and new_kf
+        assert slam._backend_tasks.qsize() <= 2
+    slam.terminate()
+    assert slam._backend_tasks.unfinished_tasks == 0
+    # overload must have dropped some tasks but executed the in-flight ones
+    assert 1 <= len(started) < 8
+    # the newest task always survives a drop cycle
+    assert started[-1] == len(slam.kf_timestamps) - 1
 
 
 def test_slam_portrait_input(tiny_model):
