@@ -335,6 +335,7 @@ class SLAM:
             )
             self.active_kf = kf_next
         self._idx_f2k = res.idx_f2k
+        self.last_track = res  # host-inspectable per-frame flags (used_fnn etc.)
         ok = bool(res.ok)
         new_kf = bool(res.new_kf)
         if new_kf:

@@ -66,14 +66,18 @@ class TrackingCfg(NamedTuple):
 class TrackResult(NamedTuple):
     """Small per-frame result. ``flags`` packs the host-read scalars into ONE
     array so a single tiny fetch serves the host control flow:
-    [match_frac, ok, new_kf, T_WCf(8), T_CkCf(8)]."""
+    [match_frac, ok, new_kf, T_WCf(8), T_CkCf(8), used_fnn]."""
 
-    flags: jax.Array  # (19,) f32
+    flags: jax.Array  # (20,) f32
     idx_f2k: jax.Array  # (1, HW) for warm-starting the next frame's matcher
 
     @property
     def match_frac(self):
         return self.flags[0]
+
+    @property
+    def used_fnn(self):
+        return self.flags[19] > 0
 
     @property
     def ok(self):
@@ -443,6 +447,7 @@ def track_step_post(
             ]),
             T_WCf_final.astype(jnp.float32),
             T_CkCf.astype(jnp.float32),
+            used_fnn.astype(jnp.float32)[None],
         ]
     )
     return kf_next, frame, TrackResult(flags=flags, idx_f2k=idx_f2k[None])

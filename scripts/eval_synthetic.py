@@ -39,7 +39,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# FRODO_SYNTH_X64=0 runs the whole pipeline in f32 (BA solve: f32 Cholesky
+# + one iterative-refinement step) for the f64-vs-f32 eval-mode A/B
+if os.environ.get("FRODO_SYNTH_X64", "1") == "1":
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
@@ -83,11 +86,16 @@ def trajectory(n_frames):
     return jnp.stack(poses)
 
 
-def encode_pose_image(T_WC):
-    """Smuggle the ground-truth pose into the frame's pixels."""
+def encode_pose_image(T_WC, marker=0):
+    """Smuggle the ground-truth pose into the frame's pixels. ``marker``
+    (pixel 8) selects a degradation the oracle applies to THIS frame's
+    decode: 0 = clean, 1 = warped geometry but intact descriptors (the
+    projective matcher fails, the fnn descriptor fallback recovers),
+    2 = dead descriptors (nothing can match: a covered/blinded camera)."""
     img = np.full((H, W, 3), 0.5, np.float32)
     vals = np.asarray(T_WC, np.float32) * POSE_SCALE + 0.5
     img.reshape(-1)[: len(vals)] = vals
+    img.reshape(-1)[8] = marker * POSE_SCALE + 0.5
     return img
 
 
@@ -104,9 +112,9 @@ def install_oracle(pts_w, D_desc, noise):
         b = img.shape[0]
         n_tok = (H // cfg.patch_size) * (W // cfg.patch_size)
         # the image is ImgNorm'd: value = (raw - 0.5) / 0.5 = pose * 2 * SCALE
-        pose_px = img.reshape(b, -1)[:, :8]
+        pose_px = img.reshape(b, -1)[:, :9]  # 8 pose + 1 degradation marker
         feat = jnp.zeros((b, n_tok, cfg.enc_embed_dim), jnp.float32)
-        feat = feat.at[:, 0, :8].set(pose_px)
+        feat = feat.at[:, 0, :9].set(pose_px)
         yy, xx = jnp.meshgrid(
             jnp.arange(H // cfg.patch_size), jnp.arange(W // cfg.patch_size),
             indexing="ij",
@@ -130,13 +138,30 @@ def install_oracle(pts_w, D_desc, noise):
     def oracle_decode(params, cfg, f1, p1, f2, p2, img_hw, portrait=None):
         pose1 = decode_pose(f1).astype(jnp.float32)  # (B, 8) view1 T_WC
         b = pose1.shape[0]
+        marker = jnp.round(f1[:, 0, 8] / (2.0 * POSE_SCALE))  # (B,)
         X1 = jax.vmap(lambda T: render(T, 1))(pose1)  # view1 pts, view1 frame
         X2 = jax.vmap(lambda T: render(T, 2))(pose1)  # view2 pts ARE the same
         # world points, expressed in view1's frame (the asymmetric-decode
         # contract: res2 = view2's pointmap in view1 coordinates)
         ones = jnp.ones((b, H, W, 1), jnp.float32)
         desc = jnp.broadcast_to(D_desc[None], (b, H, W, D_desc.shape[-1]))
-        res1 = {"pts3d": X1, "conf": 5.0 * ones, "desc": desc, "desc_conf": 4.0 * ones}
+
+        # marker 1: strong smooth warp on view1's geometry only — the two
+        # views disagree in 3D (occlusion gate kills the projective match)
+        # while descriptors stay exact (the fnn fallback can recover)
+        uu, vv = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(H, dtype=jnp.float32))
+        warp = 0.6 * jnp.stack([jnp.sin(vv * 0.4), jnp.cos(uu * 0.3),
+                                jnp.sin((uu + vv) * 0.2)], -1)
+        m1 = (marker == 1)[:, None, None, None]
+        X1 = jnp.where(m1, X1 + warp[None], X1)
+        # marker 2: dead descriptors on view1 — neither the projective score
+        # gate nor the descriptor fallback can match (a covered camera)
+        m2 = (marker == 2)[:, None, None, None]
+        desc1 = jnp.where(m2, -desc, desc)
+        q1 = jnp.where(m2, 0.0 * ones, 4.0 * ones)
+
+        res1 = {"pts3d": X1, "conf": 5.0 * ones, "desc": desc1, "desc_conf": q1}
         res2 = {"pts3d": X2, "conf": 5.0 * ones, "desc": desc, "desc_conf": 4.0 * ones}
         return res1, res2
 
@@ -194,12 +219,109 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None):
     }
 
 
+def run_episode(noise=0.0):
+    """Failure-path episode (reference tracker.py:222-276 + vio.py:29-72,
+    321-328): drives the REAL accept gate, the fnn descriptor fallback, and
+    the tracking-loss -> map-reset -> re-init recovery through the full
+    system, returning counters that prove each path fired.
+
+    Phases: (1) clean tracking with a real min_match_frac gate and use_fnn
+    on; (2) one warped-geometry frame — the projective match dies at the
+    occlusion gate, the fnn fallback recovers (used_fnn fires, accept via
+    min_match_frac_fnn); (3) dead-descriptor frames — nothing matches,
+    each failure attempts retrieval-seeded relocalization (strict gate
+    honestly rejects a blinded camera), the loss counter runs out, the map
+    resets into the atlas; (4) clean frames again — a fresh map
+    re-initializes and tracks."""
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.retrieval.asmk import Codebook
+    from frodo_slam_tpu.retrieval.database import RetrievalDatabase
+    from frodo_slam_tpu.retrieval.model import RetrievalHead
+    from frodo_slam_tpu.slam.system import SLAM
+
+    key = jax.random.PRNGKey(0)
+    pts_w, D_desc = make_world(key)
+    install_oracle(pts_w, D_desc, noise)
+    n1, n_loss, n4 = 8, 3, 6
+    T_true = trajectory(n1 + n_loss + n4 + 1)
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.05,
+                  "Q_conf": 1.0, "max_iters": 30, "use_fnn": True,
+                  "min_match_frac_fnn": 0.004,  # fnn subsamples 8x8: max ~1/64
+                  "new_map_after_loss_track_N": 3},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
+        tpu={"max_keyframes": 32, "max_edges": 32, "max_odom_edges": 8},
+    )
+    head = RetrievalHead.init(jax.random.PRNGKey(1),
+                              backbone_dim=mcfg.enc_embed_dim,
+                              hdims=[mcfg.enc_embed_dim], nfeat=32)
+    db = RetrievalDatabase(
+        head, Codebook.random(np.random.default_rng(0), 64, mcfg.enc_embed_dim)
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=db,
+                use_backend=True, use_reloc=True, single_thread=True)
+
+    counters = {"fnn_frames": 0, "loss_frames": 0, "reloc_attempts": 0,
+                "resets": 0, "post_reset_tracked": 0}
+    real_reloc = slam._relocalize
+
+    def counting_reloc(frame, timestamp):
+        counters["reloc_attempts"] += 1
+        return real_reloc(frame, timestamp)
+
+    slam._relocalize = counting_reloc
+    t = 0
+
+    def step(marker, expect_ok=None):
+        nonlocal t
+        img = encode_pose_image(T_true[t], marker=marker)
+        ok, pose, new_kf = slam.grab_rgb(img, timestamp=float(t))
+        t += 1
+        assert np.all(np.isfinite(pose))
+        if expect_ok is not None:
+            assert ok == expect_ok, f"frame {t - 1} marker={marker}: ok={ok}"
+        return ok
+
+    for _ in range(n1):  # phase 1: clean, real gate
+        step(0, expect_ok=True)
+    # phase 2: warped geometry -> projective match dies, fnn recovers
+    step(1, expect_ok=True)
+    assert bool(slam.last_track.used_fnn), "fnn fallback did not fire"
+    counters["fnn_frames"] += 1
+    # phase 3: dead descriptors -> loss counter -> map reset
+    for _ in range(n_loss):
+        ok = step(2, expect_ok=False)
+        counters["loss_frames"] += 1
+        assert not bool(slam.last_track.used_fnn) or not ok
+    assert len(slam.atlas) == 1, "tracking loss did not reset the map"
+    assert counters["reloc_attempts"] >= 1, "loss frames never attempted reloc"
+    counters["resets"] = len(slam.atlas)
+    # phase 4: clean frames -> fresh map re-initializes and tracks
+    for _ in range(n4):
+        if step(0, expect_ok=True):
+            counters["post_reset_tracked"] += 1
+    assert int(slam.store.n_size) >= n4 - 1
+    slam.terminate()
+    counters["n_kf_new_map"] = int(slam.store.n_size)
+    return counters
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--noise", type=float, default=0.003)
     ap.add_argument("--threaded", action="store_true")
+    ap.add_argument("--episode", action="store_true",
+                    help="run the failure-path episode (fnn fallback + "
+                         "loss->reset->re-init) instead of the ATE eval")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    print(json.dumps(run(args.frames, args.noise,
-                         single_thread=not args.threaded, out_dir=args.out)))
+    if args.episode:
+        print(json.dumps(run_episode(args.noise)))
+    else:
+        print(json.dumps(run(args.frames, args.noise,
+                             single_thread=not args.threaded, out_dir=args.out)))
