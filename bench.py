@@ -142,10 +142,23 @@ def main():
     else:
         mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 32, WINDOW
 
+    # A/B overrides (VERDICT r2 #2): every pending perf lever is selectable
+    # from the environment so one long-lived TPU process can sweep the matrix
+    # (the tunnel wedges when processes die mid-use — keep runs few and long)
+    import dataclasses as _dc
+
+    if os.environ.get("FRODO_BENCH_ATTN"):
+        mcfg = _dc.replace(mcfg, attention_impl=os.environ["FRODO_BENCH_ATTN"])
+    if os.environ.get("FRODO_BENCH_HEAD_DTYPE"):
+        mcfg = _dc.replace(
+            mcfg, head_dtype=jnp.dtype(os.environ["FRODO_BENCH_HEAD_DTYPE"]))
+
     cfg = make_config()
     match_cfg_d = dict(cfg.matching)
     if os.environ.get("FRODO_BENCH_REFINE"):
         match_cfg_d["refine_impl"] = os.environ["FRODO_BENCH_REFINE"]
+    if os.environ.get("FRODO_BENCH_DILATION"):
+        match_cfg_d["dilation_max"] = int(os.environ["FRODO_BENCH_DILATION"])
     match_cfg = tuple(sorted(match_cfg_d.items()))
     tcfg = TrackingCfg(
         min_match_frac=0.0,  # synthetic frames: keep the full pipeline running

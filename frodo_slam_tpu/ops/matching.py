@@ -393,6 +393,12 @@ def _refine_dispatch(impl: str):
         from .refine_pallas import refine_matches_pallas
 
         return partial(refine_matches_pallas, interpret=not on_tpu)
+    if impl == "pallas_tile":
+        # single-column-tile layout, the pending TPU A/B candidate
+        # (see ops/refine_pallas_tile.py docstring)
+        from .refine_pallas_tile import refine_matches_pallas
+
+        return partial(refine_matches_pallas, interpret=not on_tpu)
     return refine_matches_shift
 
 

@@ -175,6 +175,8 @@ class SLAM:
         self.current_T_WC = np.asarray(lie.sim3_identity())
         self.last_odom_pose: Optional[np.ndarray] = None
         self._idx_f2k = None
+        self.last_track = None
+        self._encode_cache = None  # (img_obj, dev_img, feat, pos) lookahead
         self._backend_lock = threading.Lock()
         # Backend tasks QUEUE and the frontend never blocks on a solve — the
         # reference contract (tasks pile into a manager list, vio.py:109-115,
@@ -287,12 +289,23 @@ class SLAM:
         return img[None] if img.ndim == 3 else img
 
     def _make_frame(self, img, T_WC) -> frame_mod.Frame:
+        if self._encode_cache is not None and self._encode_cache[0] is img:
+            # encode was already dispatched last frame (grab_rgb next_img
+            # lookahead): it overlapped the previous frame's flags fetch
+            _, dev_img, feat, pos = self._encode_cache
+            self._encode_cache = None
+        else:
+            dev_img, feat, pos = self._encode_frame(img)
+        return frame_mod.make_empty_frame(self.frame_count, dev_img, feat, pos, T_WC=T_WC)
+
+    def _encode_frame(self, img):
+        """Preprocess + upload + dispatch the ViT encode for one frame."""
         if isinstance(img, jax.Array) and img.ndim == 4:
             dev_img = img  # pre-uploaded by a PrefetchLoader
         else:
             dev_img = jnp.asarray(self.preprocess(np.asarray(img)))
         feat, pos = self._encode(self.params, dev_img)
-        return frame_mod.make_empty_frame(self.frame_count, dev_img, feat, pos, T_WC=T_WC)
+        return dev_img, feat, pos
 
     def init_tracking(self, frame: frame_mod.Frame, timestamp: float):
         """Mono-inference map init (tracker.py:137-155)."""
@@ -313,8 +326,14 @@ class SLAM:
         self.current_T_WC = np.asarray(frame.T_WC)
 
     def grab_rgb(self, img: np.ndarray, timestamp: Optional[float] = None,
-                 odom_pose: Optional[np.ndarray] = None):
+                 odom_pose: Optional[np.ndarray] = None, next_img=None):
         """Process one RGB frame (vio.py:287-346).
+
+        ``next_img``: optional lookahead frame. Its encode is DISPATCHED
+        after this frame's tracking programs but before the blocking flags
+        fetch, so the ~3 ms ViT encode (and the host preprocessing) rides
+        the fetch latency instead of serializing in front of the next
+        frame's matcher. Pass the same array object to the next grab_rgb.
 
         Returns (success, T_WC (8,) Sim3, new_kf).
         """
@@ -322,6 +341,8 @@ class SLAM:
         frame = self._make_frame(img, jnp.asarray(self.current_T_WC, jnp.float32))
 
         if self.mode == Mode.INIT:
+            if next_img is not None:
+                self._encode_cache = (next_img, *self._encode_frame(next_img))
             self.init_tracking(frame, timestamp)
             self.last_odom_pose = odom_pose
             self.frame_count += 1
@@ -336,6 +357,10 @@ class SLAM:
             self.active_kf = kf_next
         self._idx_f2k = res.idx_f2k
         self.last_track = res  # host-inspectable per-frame flags (used_fnn etc.)
+        if next_img is not None:
+            # lookahead: dispatch the NEXT frame's preprocessing + encode now
+            # so it overlaps the flags fetch below (the per-frame host sync)
+            self._encode_cache = (next_img, *self._encode_frame(next_img))
         ok = bool(res.ok)
         new_kf = bool(res.new_kf)
         if new_kf:

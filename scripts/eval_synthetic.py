@@ -182,12 +182,16 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None):
 
     mcfg = mast3r.tiny_config()
     params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    matching_over = {}
+    if os.environ.get("FRODO_SYNTH_DILATION"):  # refine-depth accuracy A/B
+        matching_over["dilation_max"] = int(os.environ["FRODO_SYNTH_DILATION"])
     cfg = make_config(
         tracking={"match_frac_thresh": 1.1,  # keyframe every frame: the
                   # saved trajectory is keyframe poses, so this makes every
                   # frame's pose part of the ATE
                   "min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30},
         local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
+        matching=matching_over,
         tpu={"max_keyframes": max(8, n_frames + 2), "max_edges": 32,
              "max_odom_edges": 8},
     )

@@ -237,6 +237,34 @@ def test_refine_matches_pallas_matches_shift():
     np.testing.assert_allclose(np.asarray(ss), np.asarray(sp), atol=2e-2)
 
 
+def test_refine_matches_pallas_tile_matches_shift():
+    """The single-column-tile layout variant (ops/refine_pallas_tile.py, the
+    pending TPU A/B candidate) must reproduce the shift formulation exactly
+    like the multi-tile kernel does."""
+    from frodo_slam_tpu.ops.refine_pallas_tile import refine_matches_pallas
+
+    rng = np.random.default_rng(7)
+    b, h, w, f = 2, 16, 32, 24
+    D11 = rng.normal(size=(b, h, w, f)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    D21 = rng.normal(size=(b, h * w, f)).astype(np.float32)
+    D21 /= np.linalg.norm(D21, axis=-1, keepdims=True)
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    p = np.stack([uu.ravel(), vv.ravel()], -1)[None].repeat(b, 0)
+    p = np.clip(p + rng.integers(-2, 3, p.shape), 0, [w - 1, h - 1]).astype(np.int32)
+
+    ps, ss = matching.refine_matches_shift(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=2, dilation_max=3,
+    )
+    pp, sp = refine_matches_pallas(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=2, dilation_max=3, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(pp))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(sp), atol=2e-2)
+
+
 def test_img_gradient_matches_conv():
     rng = np.random.default_rng(5)
     img = rng.normal(size=(1, 9, 11, 3)).astype(np.float32)

@@ -388,3 +388,24 @@ def test_slam_relocalization_recovers_before_reset(tiny_model):
     ok, _, _ = slam.grab_rgb(img, timestamp=4.0)
     assert slam.loss_track_counter == 0 or ok
     slam.terminate()
+
+
+def test_slam_next_img_lookahead_is_equivalent(tiny_model):
+    """grab_rgb's next_img lookahead (encode dispatched before the flags
+    fetch) must be a pure scheduling change: identical trajectory to the
+    sequential path. Identical frame CONTENT (tracking succeeds) in
+    distinct array objects (the by-identity encode cache is exercised)."""
+    imgs = [_img(0) for _ in range(4)]
+
+    def run(lookahead):
+        slam = _make_slam(tiny_model)
+        poses = []
+        for i, img in enumerate(imgs):
+            nxt = imgs[i + 1] if lookahead and i + 1 < len(imgs) else None
+            ok, pose, _ = slam.grab_rgb(img, timestamp=float(i), next_img=nxt)
+            assert ok
+            poses.append(np.asarray(pose))
+        slam.terminate()
+        return np.stack(poses)
+
+    np.testing.assert_array_equal(run(False), run(True))
