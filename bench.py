@@ -54,7 +54,10 @@ from frodo_slam_tpu.slam.backend import _ingest_pairs, _write_pair_rows  # noqa:
 from frodo_slam_tpu.slam.global_opt import (  # noqa: E402
     BAConfig, Edges, _edges_pre, empty_odom_edges, solve_gn_rays,
 )
-from frodo_slam_tpu.slam.inference import decode_mono, match_symmetric  # noqa: E402
+from frodo_slam_tpu.ops import matching as matching_ops  # noqa: E402
+from frodo_slam_tpu.slam.inference import (  # noqa: E402
+    decode_asymmetric, decode_mono, match_symmetric,
+)
 from frodo_slam_tpu.slam.tracker import TrackingCfg, track_step  # noqa: E402
 
 BASELINE_FPS = 15.0  # reference end-to-end on RTX 4090 (external, BASELINE.md)
@@ -159,6 +162,12 @@ def main():
         match_cfg_d["refine_impl"] = os.environ["FRODO_BENCH_REFINE"]
     if os.environ.get("FRODO_BENCH_DILATION"):
         match_cfg_d["dilation_max"] = int(os.environ["FRODO_BENCH_DILATION"])
+    if os.environ.get("FRODO_BENCH_DILATION_WARM") is not None:
+        match_cfg_d["dilation_max_warm"] = int(
+            os.environ["FRODO_BENCH_DILATION_WARM"])
+    if os.environ.get("FRODO_BENCH_MAXITER_WARM") is not None:
+        match_cfg_d["max_iter_warm"] = int(
+            os.environ["FRODO_BENCH_MAXITER_WARM"])
     match_cfg = tuple(sorted(match_cfg_d.items()))
     tcfg = TrackingCfg(
         min_match_frac=0.0,  # synthetic frames: keep the full pipeline running
@@ -219,13 +228,28 @@ def main():
     def ba_solve(T_init, edges):
         return solve_gn_rays(ba_cfg, 1, T_init, X_win, C_win, edges, odom0, s_bar)
 
-    def backend_step(edges, feat_i, pos_i, feat_j, pos_j, key):
-        """One keyframe's backend work (vio.py:109-157): symmetric pair
-        decode + match, gating + edge-cache build (one fused dispatch, with
-        its real host sync), edge insertion, GN solve."""
-        (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = (
-            match_symmetric(params, mcfg, match_cfg_d, feat_i, pos_i, feat_j, pos_j, (h, w))
-        )
+    def backend_step(edges, feat_i, pos_i, feat_j, pos_j, key, pair_half=None):
+        """One keyframe's backend work (vio.py:109-157). Production
+        consecutive-edge path (system._backend_step): the tracker's half of
+        the pair decode+match is REUSED (TrackResult.pair_half), so the
+        backend decodes and cold-matches only the missing (i, j) direction.
+        The full symmetric path (no half) is what reloc/loop-closure pairs
+        pay; the bench takes the consecutive path, like the real per-KF
+        stream."""
+        cold_cfg, _ = matching_ops.split_match_cfg(match_cfg_d)
+        if pair_half is not None:
+            idx_j2i, vm_i, Qjj, Qij = pair_half
+            res11, res21 = decode_asymmetric(
+                params, mcfg, feat_i, pos_i, feat_j, pos_j, (h, w))
+            idx_i2j, vm_j = matching_ops.match(
+                res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+                None, **cold_cfg)
+            Qii = res11["desc_conf"].reshape(1, h * w, 1)
+            Qji = res21["desc_conf"].reshape(1, h * w, 1)
+        else:
+            (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = (
+                match_symmetric(params, mcfg, match_cfg_d, feat_i, pos_i, feat_j, pos_j, (h, w))
+            )
         n_one = jnp.ones((1,), jnp.int32)
         (Qj, Qi, valid_j, valid_i, fracs, XiT_r0, w0_r0, XiT_r1, w0_r1) = (
             _ingest_pairs(
@@ -263,10 +287,18 @@ def main():
     kf_w, fused, res = full_step(params, kf_w, frames[1], res.idx_f2k)
     _ = float(res.match_frac)
     # warm up on a COPY: _write_pair_rows donates its edge buffers, and the
-    # timed loop below must start from intact edges0
+    # timed loop below must start from intact edges0. Warm BOTH backend
+    # variants (full symmetric for loop closures, half-reuse for the
+    # consecutive stream)
     edges, T_new, _ = backend_step(
         jax.tree.map(jnp.copy, edges0),
-        fused.feat, fused.pos, kf_w.feat, kf_w.pos, jax.random.PRNGKey(1)
+        kf_w.feat, kf_w.pos, fused.feat, fused.pos, jax.random.PRNGKey(1)
+    )
+    T_new.block_until_ready()
+    edges, T_new, _ = backend_step(
+        jax.tree.map(jnp.copy, edges0),
+        kf_w.feat, kf_w.pos, fused.feat, fused.pos, jax.random.PRNGKey(1),
+        pair_half=res.pair_half,
     )
     T_new.block_until_ready()
     kf = kf_w
@@ -286,8 +318,10 @@ def main():
             # decodes it against the previous KF and solves the window; the
             # next frame restarts matching against the new KF (idx reset)
             edges, T_new, fracs = backend_step(
-                edges, fused.feat, fused.pos, prev_kf.feat, prev_kf.pos,
+                edges, prev_kf.feat, prev_kf.pos, fused.feat, fused.pos,
                 jax.random.PRNGKey(i),
+                pair_half=(None if os.environ.get("FRODO_BENCH_NO_HALF")
+                           else res.pair_half),
             )
             prev_kf = kf
             idx_init = None

@@ -377,6 +377,33 @@ def refine_matches_shift(
 refine_matches = refine_matches_shift
 
 
+def split_match_cfg(match_cfg) -> tuple:
+    """(cold_cfg, warm_cfg) dicts for :func:`match` from a config mapping.
+
+    ``dilation_max_warm`` (optional) is the refine search reach for
+    WARM-STARTED frames: when the matcher is seeded with last frame's
+    converged correspondences (the tracker's per-frame steady state), the LM
+    projector lands within ~1px and the full coarse-to-fine pyramid
+    (dilation 5..1, reach ±15px, the reference's cold-start contract at
+    matching_kernels.cu:25-125) is redundant — each level costs a
+    scatter+kernel+gather round (~6-8 ms at 288x512 on v5e). Cold starts
+    (map init, the frame right after a keyframe switch, backend pair
+    matching, reloc) always use the full ``dilation_max``. Likewise
+    ``max_iter_warm`` caps the LM projector's iteration count on warm frames
+    (the seeded guess is last frame's converged match; the reference always
+    runs 10, matching_kernels.cu:151). 0/None/absent disables either split
+    (warm == cold)."""
+    cold = dict(match_cfg)
+    warm_d = cold.pop("dilation_max_warm", None)
+    warm_it = cold.pop("max_iter_warm", None)
+    warm = dict(cold)
+    if warm_d:
+        warm["dilation_max"] = int(warm_d)
+    if warm_it:
+        warm["max_iter"] = int(warm_it)
+    return cold, warm
+
+
 def _refine_dispatch(impl: str):
     """Select the refine implementation. ``pallas`` runs the TPU correlation
     kernel (ops/refine_pallas.py) — on non-TPU backends it falls back to the

@@ -34,7 +34,7 @@ from .global_opt import (
     solve_gn_calib,
     solve_gn_rays,
 )
-from .inference import match_symmetric
+from .inference import decode_asymmetric, match_symmetric
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -264,6 +264,57 @@ class BackendGraph:
             )
             added = True
         return added
+
+    def add_consecutive_half(self, store: KeyframeStore, i: int, j: int,
+                             half) -> bool:
+        """Insert the consecutive edge (i, j) reusing the tracker's half of
+        the pair decode.
+
+        ``half`` is TrackResult.pair_half from the frame that became
+        keyframe ``j``: the tracker already ran decode(j, i) (= the [jj, ij]
+        half of the symmetric batch, inference.decode_symmetric_batch) and
+        matched its direction, so only decode(i, j) + one match remain —
+        half the keyframe-rate decode+match cost. The reference re-decodes
+        both directions (global_opt.py:69-141); skipping the redundant
+        recompute is behavior-preserving because the pair decode is a pure
+        function of the stored encoder features. Consecutive edges are
+        inserted unconditionally (global_opt.py:117-127), so no gate fetch.
+        """
+        from ..ops import matching
+
+        idx_j2i, valid_match_i, Qjj, Qij = half
+        slot_i = int(i) % store.capacity
+        slot_j = int(j) % store.capacity
+        pos = store.pos[None]
+        res11, res21 = decode_asymmetric(
+            self.params, self.model_cfg, store.feat[slot_i][None], pos,
+            store.feat[slot_j][None], pos, self.img_hw,
+        )
+        cold_cfg, _ = matching.split_match_cfg(dict(self.match_cfg))
+        idx_i2j, valid_match_j = matching.match(
+            res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+            None, **cold_cfg,
+        )
+        hw = self.hw
+        flat1 = lambda x: x.reshape(1, hw, 1)  # noqa: E731
+        (Qj, Qi, valid_j, valid_i, _fracs,
+         XiT_r0, w0_r0, XiT_r1, w0_r1) = _ingest_pairs(
+            jnp.float32(self.Q_conf), jnp.float32(self.cfg.Q_conf),
+            jnp.float32(self.cfg.C_conf),
+            store.X_canon[slot_i][None], store.C[slot_i][None],
+            store.N[slot_i][None],
+            store.X_canon[slot_j][None], store.C[slot_j][None],
+            store.N[slot_j][None],
+            idx_i2j.astype(jnp.int32), idx_j2i.astype(jnp.int32),
+            valid_match_j, valid_match_i,
+            flat1(res11["desc_conf"]), Qjj, flat1(res21["desc_conf"]), Qij,
+        )
+        self._insert_pair(
+            i, j, idx_i2j[0], idx_j2i[0], valid_j[0, :, 0], valid_i[0, :, 0],
+            Qj[0, :, 0], Qi[0, :, 0],
+            cache=(XiT_r0[0], w0_r0[0], XiT_r1[0], w0_r1[0]),
+        )
+        return True
 
     def _insert_pair(self, i, j, idx_i2j, idx_j2i, valid_j, valid_i, Qj, Qi,
                      cache=None):

@@ -361,8 +361,10 @@ class SLAM:
             # lookahead: dispatch the NEXT frame's preprocessing + encode now
             # so it overlaps the flags fetch below (the per-frame host sync)
             self._encode_cache = (next_img, *self._encode_frame(next_img))
-        ok = bool(res.ok)
-        new_kf = bool(res.new_kf)
+        flags = np.asarray(res.flags)  # ONE host sync serves every flag below
+        ok = bool(flags[1] > 0)
+        new_kf = bool(flags[2] > 0)
+        used_fnn = bool(flags[19] > 0)
         if new_kf:
             with self._backend_lock:
                 # sync the outgoing keyframe's fused pointmap into the store
@@ -384,7 +386,7 @@ class SLAM:
             self.loss_track_counter += 1
             log.info("tracking failed at t=%.3f (consecutive losses: %d, "
                      "match_frac=%.4f)", timestamp, self.loss_track_counter,
-                     float(res.match_frac))
+                     float(flags[0]))
             relocalized = False
             if self.use_reloc and self.retrieval is not None and len(self.kf_timestamps) > 1:
                 relocalized = self._relocalize(frame, timestamp)
@@ -399,7 +401,7 @@ class SLAM:
                 return False, self.current_T_WC, True
         else:
             self.loss_track_counter = 0
-            self.current_T_WC = np.asarray(res.T_WCf)
+            self.current_T_WC = flags[3:11].copy()
             if new_kf:
                 self.kf_timestamps.append(timestamp)
                 self._idx_f2k = None
@@ -418,7 +420,13 @@ class SLAM:
                     )
                     self.pgo, s, pgo_ok = pgo_optimize(self.pgo)
                 if self.use_backend:
-                    self._run_backend(len(self.kf_timestamps) - 1, odom_factor)
+                    # consecutive-edge half reuse: hand the backend the
+                    # tracker's direction of this pair's decode+match. Not
+                    # valid when the fnn fallback fired (the raw projective
+                    # match was too sparse — let the backend cold-match both)
+                    half = None if used_fnn else res.pair_half
+                    self._run_backend(len(self.kf_timestamps) - 1, odom_factor,
+                                      half)
         if odom_pose is not None and self.last_odom_pose is None:
             self.last_odom_pose = odom_pose
 
@@ -471,7 +479,7 @@ class SLAM:
             s_bar[k] = v
         return s_bar
 
-    def _backend_step(self, idx: int, odom_factor):
+    def _backend_step(self, idx: int, odom_factor, pair_half=None):
         """One backend task (run_backend loop body, vio.py:109-157).
 
         Threaded mode works on a SNAPSHOT of the keyframe store (jax arrays
@@ -497,6 +505,11 @@ class SLAM:
             kf_idx += retrieved
         kf_set = set(kf_idx)
         kf_set.discard(idx)
+        if pair_half is not None and idx >= 1 and (idx - 1) in kf_set:
+            # the tracker already decoded+matched its direction of this
+            # consecutive pair: only the missing direction is computed
+            self.backend.add_consecutive_half(store, idx - 1, idx, pair_half)
+            kf_set.discard(idx - 1)
         kf_list = sorted(kf_set)
         if kf_list:
             self.backend.add_factors(store, kf_list, [idx] * len(kf_list))
@@ -532,9 +545,9 @@ class SLAM:
                 if self.single_thread or n_latest == idx:
                     self.current_T_WC = np.asarray(T_new[w])
 
-    def _run_backend(self, idx: int, odom_factor):
+    def _run_backend(self, idx: int, odom_factor, pair_half=None):
         if self.single_thread:
-            self._backend_step(idx, odom_factor)
+            self._backend_step(idx, odom_factor, pair_half)
             return
         # never block the frontend: enqueue and return (vio.py:333-343).
         # Bounded queue: drop the oldest pending task under overload.
@@ -554,7 +567,7 @@ class SLAM:
                 name="frodo-backend",
             )
             self._backend_worker.start()
-        self._backend_tasks.put((idx, odom_factor))
+        self._backend_tasks.put((idx, odom_factor, pair_half))
 
     # -- relocalization ---------------------------------------------------------
 

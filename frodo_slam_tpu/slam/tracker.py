@@ -70,6 +70,14 @@ class TrackResult(NamedTuple):
 
     flags: jax.Array  # (20,) f32
     idx_f2k: jax.Array  # (1, HW) for warm-starting the next frame's matcher
+    # raw projective-match half of the (active KF i, frame j) pair decode:
+    # (idx_j2i (1,HW), valid_match_i (1,HW,1), Qjj (1,HW,1), Qij (1,HW,1)).
+    # When the frame becomes keyframe j, this IS the [jj, ij] half of the
+    # backend's symmetric consecutive-edge batch (decode(j,i) — see
+    # inference.decode_symmetric_batch ordering), so the backend only
+    # decodes+matches the missing (i,j) direction: half the keyframe-rate
+    # decode + match cost (reference re-decodes both, global_opt.py:69-141).
+    pair_half: object = None
 
     @property
     def match_frac(self):
@@ -289,9 +297,11 @@ def track_step(
     res11, res21 = _model_stage(
         params, model_cfg, frame.feat, frame.pos, kf.feat, kf.pos, img_hw
     )
+    cold_cfg, warm_cfg = matching.split_match_cfg(dict(match_cfg))
     idx_f2k, valid_match_k = matching.match(
         res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
-        idx_f2k_init, **dict(match_cfg),
+        idx_f2k_init,
+        **(warm_cfg if idx_f2k_init is not None else cold_cfg),
     )
     flat = lambda x, c: x.reshape(h * w, c)  # noqa: E731
     out = AsymOut(
@@ -306,7 +316,13 @@ def track_step(
         Dff=flat(res11["desc"], res11["desc"].shape[-1]),
         Dkf=flat(res21["desc"], res21["desc"].shape[-1]),
     )
-    return track_step_post(cfg, img_hw, kf, frame, out, K)
+    kf_next, fused, res = track_step_post(cfg, img_hw, kf, frame, out, K)
+    # stash the raw (pre-fnn) projective half for backend consecutive-edge
+    # reuse; stays on device, only consumed if this frame becomes a keyframe
+    res = res._replace(pair_half=(
+        out.idx_f2k, out.valid_match_k, out.Qff[None], out.Qkf[None]
+    ))
+    return kf_next, fused, res
 
 
 @partial(jax.jit, static_argnames=("cfg", "img_hw"))

@@ -403,3 +403,89 @@ def test_eviction_protects_loop_closures_and_ba_converges():
         assert err < max(0.2 * err0, 1e-3), (
             f"edge ({i},{j}): pose error {err0:.4f} -> {err:.4f} did not converge"
         )
+
+
+def test_add_consecutive_half_matches_add_factors():
+    """The consecutive-edge half-reuse path (BackendGraph.add_consecutive_half,
+    fed by TrackResult.pair_half) must write the SAME two directed edge rows
+    as the full symmetric path (add_factors) for the same pair — the pair
+    decode is a pure function of the stored encoder features, so skipping
+    the redundant direction is behavior-preserving."""
+    import dataclasses
+
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.ops import matching
+    from frodo_slam_tpu.slam import frame as frame_mod
+    from frodo_slam_tpu.slam.backend import BackendGraph
+    from frodo_slam_tpu.slam.inference import decode_asymmetric
+
+    h, w = 32, 64
+    hw = h * w
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    # shared decoders/heads: identical features decode consistently (the
+    # regime trained weights produce), so the matcher finds real matches
+    params["head2"] = params["head1"]
+    params["dec_blocks2"] = params["dec_blocks"]
+
+    n_tok = (h // 16) * (w // 16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, n_tok, mcfg.enc_embed_dim)).astype(np.float32))
+    store = frame_mod.make_keyframe_store(4, hw, n_tok=n_tok, enc_dim=mcfg.enc_embed_dim)
+    yy, xx = np.meshgrid(np.arange(h // 16), np.arange(w // 16), indexing="ij")
+    pos = jnp.asarray(np.stack([yy, xx], -1).reshape(n_tok, 2), jnp.int32)
+    store = dataclasses.replace(
+        store,
+        feat=store.feat.at[:2].set(feats),
+        pos=pos,
+        X_canon=store.X_canon.at[:2].set(
+            jnp.asarray(rng.normal(size=(2, hw, 3)).astype(np.float32)) + jnp.asarray([0, 0, 5.0])),
+        C=store.C.at[:2].set(5.0),
+        N=store.N.at[:2].set(1),
+        n_size=jnp.int32(2),
+        n_total=jnp.int32(2),
+    )
+
+    match_cfg = tuple(sorted(dict(make_config().matching).items()))
+    ba = BAConfig(max_iters=2, pin=1)
+
+    g_full = BackendGraph(params, mcfg, ba, match_cfg, (h, w), max_edges=4, max_odom=2)
+    assert g_full.add_factors(store, [0], [1])
+
+    # the tracker's half: decode(frame=1, kf=0) + COLD projective match —
+    # exactly what track_step computed when frame 1 became a keyframe
+    res11, res21 = decode_asymmetric(params, mcfg, store.feat[1][None], pos[None],
+                                     store.feat[0][None], pos[None], (h, w))
+    cold_cfg, _ = matching.split_match_cfg(dict(match_cfg))
+    idx_j2i, valid_i = matching.match(
+        res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"], None, **cold_cfg)
+    half = (idx_j2i, valid_i,
+            res11["desc_conf"].reshape(1, hw, 1), res21["desc_conf"].reshape(1, hw, 1))
+
+    g_half = BackendGraph(params, mcfg, ba, match_cfg, (h, w), max_edges=4, max_odom=2)
+    assert g_half.add_consecutive_half(store, 0, 1, half)
+
+    assert g_full._pairs == g_half._pairs == [(0, 1)]
+    for f in ("ii", "jj", "active"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g_full.edges, f)[:2]),
+            np.asarray(getattr(g_half.edges, f)[:2]), err_msg=f)
+    # the pair decode is batch-size-sensitive at FLOAT level (XLA fuses a
+    # batch-2 decoder differently from batch-1; the expm1 pts3d postprocess
+    # amplifies it), so near-tie matches can flip — equivalence is
+    # statistical, not bitwise: >=97% identical matches, and identical
+    # gating/weights wherever the match agrees
+    idx_f = np.asarray(g_full.edges.idx[:2])
+    idx_h = np.asarray(g_half.edges.idx[:2])
+    agree = idx_f == idx_h
+    assert agree.mean() > 0.97, f"match agreement only {agree.mean():.4f}"
+    for f in ("valid",):
+        vf = np.asarray(getattr(g_full.edges, f)[:2])
+        vh = np.asarray(getattr(g_half.edges, f)[:2])
+        assert (vf == vh)[agree].mean() > 0.999, f
+    for f in ("Q", "w0"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_full.edges, f)[:2])[agree],
+            np.asarray(getattr(g_half.edges, f)[:2])[agree],
+            atol=1e-3, err_msg=f)

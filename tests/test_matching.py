@@ -307,3 +307,50 @@ def test_match_end_to_end_identity():
     interior = np.zeros((h, w), bool)
     interior[1:-1, 1:-1] = True
     assert np.asarray(valid[0])[interior.reshape(-1), 0].mean() > 0.95
+
+
+def test_split_match_cfg_warm_reach():
+    cold, warm = matching.split_match_cfg(
+        {"dilation_max": 5, "dilation_max_warm": 2, "max_iter": 10,
+         "max_iter_warm": 4, "radius": 3}
+    )
+    assert cold == {"dilation_max": 5, "max_iter": 10, "radius": 3}
+    assert warm == {"dilation_max": 2, "max_iter": 4, "radius": 3}
+    # 0 / absent disables the split
+    for cfg in ({"dilation_max": 5, "dilation_max_warm": 0, "max_iter_warm": 0},
+                {"dilation_max": 5}):
+        cold, warm = matching.split_match_cfg(cfg)
+        assert cold == warm == {"dilation_max": 5}
+
+
+def test_match_warm_start_small_reach_equivalent():
+    """With a converged warm start (the tracking steady state), the
+    warm-reach matcher (dilation_max=2) finds the same correspondences as
+    the full cold pyramid (dilation_max=5) — the basis for the
+    matching.dilation_max_warm default."""
+    rng = np.random.default_rng(11)
+    h, w = 16, 32
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    x = (uu - w / 2) / 8.0
+    y = (vv - h / 2) / 8.0
+    z = 5.0 + 0.3 * np.sin(uu * 0.2) + 0.2 * np.cos(vv * 0.3)
+    X11 = np.stack([x, y, z], -1)[None]
+    shift = 2
+    X21 = np.roll(X11, -shift, axis=2)
+    D11 = rng.normal(size=(1, h, w, 24)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    D21 = np.roll(D11, -shift, axis=2)
+
+    # warm start: the true correspondence (last frame's converged matches)
+    idx_true = (vv.astype(np.int64) * w + np.minimum(uu + shift, w - 1)).reshape(1, -1)
+    args = (jnp.asarray(X11, jnp.float32), jnp.asarray(X21, jnp.float32),
+            jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(idx_true, jnp.int32))
+    kw = dict(max_iter=6, radius=3, ft_matching_threshold=0.8, refine_impl="shift")
+    idx_cold, valid_cold = matching.match(*args, dilation_max=5, **kw)
+    idx_warm, valid_warm = matching.match(*args, dilation_max=2, **kw)
+    vc = np.asarray(valid_cold[..., 0])
+    vw = np.asarray(valid_warm[..., 0])
+    both = vc & vw
+    assert both.mean() > 0.7
+    np.testing.assert_array_equal(np.asarray(idx_cold)[both], np.asarray(idx_warm)[both])
+    assert vw.mean() >= vc.mean() - 0.02

@@ -316,9 +316,9 @@ def test_slam_backend_queue_overload_drops_oldest(tiny_model):
         _time.sleep(0.5)
         return real_solve(store, s_bar)
 
-    def counting_step(idx, odom_factor, _real=slam._backend_step):
+    def counting_step(idx, odom_factor, *rest, _real=slam._backend_step):
         started.append(idx)
-        return _real(idx, odom_factor)
+        return _real(idx, odom_factor, *rest)
 
     slam.backend.solve_window_rays = slow_solve
     slam._backend_step = counting_step
