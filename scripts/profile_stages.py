@@ -143,6 +143,31 @@ def main():
     timeit("FULL track_step (encode+all)", full_step_j, params, kf, img,
            n=5, fetch_base=fetch_base)
 
+    # WARM-started variant (the steady-state per-frame program: refine at
+    # dilation_max_warm, iter_proj at max_iter_warm)
+    idx0 = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (1, hw))
+
+    def full_step_warm(params, kf, img, idx):
+        feat, pos = mast3r.encode_image(params, cfg, img)
+        fr = frame_mod.make_empty_frame(0, img, feat, pos)
+        return track_step(params, cfg, tcfg2, match_cfg, (h, w), kf, fr, idx)
+
+    timeit("FULL track_step (warm-start)", jax.jit(full_step_warm), params,
+           kf, img, idx0, n=5, fetch_base=fetch_base)
+
+    # fnn-FALLBACK frame (VERDICT r2 weak #4: the default config's
+    # use_fnn branch adds a fast_nn pass on sparse frames — time one)
+    tcfg_fnn = tcfg2._replace(min_match_frac=2.0, use_fnn=True,
+                              min_match_frac_fnn=0.0)
+
+    def full_step_fnn(params, kf, img):
+        feat, pos = mast3r.encode_image(params, cfg, img)
+        fr = frame_mod.make_empty_frame(0, img, feat, pos)
+        return track_step(params, cfg, tcfg_fnn, match_cfg, (h, w), kf, fr, None)
+
+    timeit("FULL track_step (fnn fallback)", jax.jit(full_step_fnn), params,
+           kf, img, n=5, fetch_base=fetch_base)
+
     if "--backend" in sys.argv:
         profile_backend(params, cfg, fetch_base)
 

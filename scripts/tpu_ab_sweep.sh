@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-3 TPU perf A/B sweep (VERDICT r2 #2). Run when the tunnel is live:
+#   bash scripts/tpu_ab_sweep.sh [results_file]
+#
+# Sequential full-bench runs (the only honest A/B granularity — isolated
+# microbenches measure dispatch latency, PERF.md). Each run exits cleanly;
+# never kill one mid-TPU-use (that wedges the tunnel). The persistent
+# compile cache (.jax_cache) makes repeat configs cheap; expect the FIRST
+# run to spend 10-20 min in remote compiles.
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/ab_sweep_results.txt}"
+: > "$OUT"
+
+run() {
+  local name="$1"; shift
+  echo "== $name ==" | tee -a "$OUT"
+  # generous timeout: first compile through the remote-compile service is
+  # slow; a clean timeout beats a hung round
+  timeout 3600 env "$@" python bench.py 2>/tmp/ab_stderr.log | tail -1 | tee -a "$OUT"
+  echo "rc=$? $(date -u +%H:%M:%S)" | tee -a "$OUT"
+}
+
+# 1. baseline = new defaults (warm split 2/4, half reuse, refine auto=pallas)
+run baseline_new_defaults FRODO_DUMMY=
+# 2. isolate the warm split (turn it off)
+run no_warm_split FRODO_BENCH_DILATION_WARM=0 FRODO_BENCH_MAXITER_WARM=0
+# 3. isolate the half reuse (turn it off)
+run no_half_reuse FRODO_BENCH_NO_HALF=1
+# 4. refine kernel layout A/B
+run refine_pallas_tile FRODO_BENCH_REFINE=pallas_tile
+run refine_shift FRODO_BENCH_REFINE=shift
+# 5. model dtype/attention levers
+run head_bf16 FRODO_BENCH_HEAD_DTYPE=bfloat16
+run attn_pallas FRODO_BENCH_ATTN=pallas
+# 6. aggressive warm reach (oracle-ATE-neutral; stretch candidate)
+run warm_d1 FRODO_BENCH_DILATION_WARM=1
+# 7. combined winners — EDIT after reading 1-6, then rerun just this line:
+# run combined FRODO_BENCH_REFINE=pallas_tile FRODO_BENCH_HEAD_DTYPE=bfloat16
+
+echo "sweep done -> $OUT"
