@@ -156,7 +156,18 @@ def test_trained_codebook_roundtrip(tmp_path):
 
     cb_file = tmp_path / "my_codebook.pkl"
     with open(cb_file, "wb") as f:
-        pickle.dump({"centroids": centroids}, f)
+        # train_codebook.py binds the codebook to the head it was trained
+        # against; the loader verifies the fingerprint (ADVICE r2)
+        pickle.dump({"centroids": centroids,
+                     "head_fingerprint": loader.head_fingerprint(head)}, f)
     db = loader.load_retriever(cfg, codebook_path=str(cb_file))
     assert not db.degraded
     assert db.codebook.size == 64
+
+    # a codebook WITHOUT a fingerprint pairing with a random-init head must
+    # be flagged degraded (it could have been trained for a different head)
+    cb_file2 = tmp_path / "foreign_codebook.pkl"
+    with open(cb_file2, "wb") as f:
+        pickle.dump({"centroids": centroids}, f)
+    db2 = loader.load_retriever(cfg, codebook_path=str(cb_file2))
+    assert db2.degraded
