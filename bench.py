@@ -50,7 +50,9 @@ from frodo_slam_tpu.config import make_config  # noqa: E402
 from frodo_slam_tpu.models import mast3r  # noqa: E402
 from frodo_slam_tpu.ops import lie  # noqa: E402
 from frodo_slam_tpu.slam import frame as frame_mod  # noqa: E402
-from frodo_slam_tpu.slam.backend import _ingest_pairs, _write_pair_rows  # noqa: E402
+from frodo_slam_tpu.slam.backend import (  # noqa: E402
+    _ingest_pairs, _invert_match, _write_pair_rows,
+)
 from frodo_slam_tpu.slam.global_opt import (  # noqa: E402
     BAConfig, Edges, _edges_pre, empty_odom_edges, solve_gn_rays,
 )
@@ -236,14 +238,18 @@ def main():
         The full symmetric path (no half) is what reloc/loop-closure pairs
         pay; the bench takes the consecutive path, like the real per-KF
         stream."""
-        cold_cfg, _ = matching_ops.split_match_cfg(match_cfg_d)
+        cold_cfg, warm_cfg = matching_ops.split_match_cfg(match_cfg_d)
         if pair_half is not None:
             idx_j2i, vm_i, Qjj, Qij = pair_half
             res11, res21 = decode_asymmetric(
                 params, mcfg, feat_i, pos_i, feat_j, pos_j, (h, w))
+            if match_cfg_d.get("seed_consecutive", True):
+                idx_seed, mcfg_dir = _invert_match(idx_j2i.astype(jnp.int32), vm_i), warm_cfg
+            else:
+                idx_seed, mcfg_dir = None, cold_cfg
             idx_i2j, vm_j = matching_ops.match(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
-                None, **cold_cfg)
+                idx_seed, **mcfg_dir)
             Qii = res11["desc_conf"].reshape(1, h * w, 1)
             Qji = res21["desc_conf"].reshape(1, h * w, 1)
         else:

@@ -78,6 +78,7 @@ def default_config() -> Dict[str, Any]:
                 "dilation_max": 5,
                 "dilation_max_warm": 2,
                 "max_iter_warm": 4,
+                "seed_consecutive": True,
                 "ft_matching_threshold": 0.8,
             },
             "tracking": {

@@ -394,6 +394,7 @@ def split_match_cfg(match_cfg) -> tuple:
     runs 10, matching_kernels.cu:151). 0/None/absent disables either split
     (warm == cold)."""
     cold = dict(match_cfg)
+    cold.pop("seed_consecutive", None)  # backend policy knob, not a match() arg
     warm_d = cold.pop("dilation_max_warm", None)
     warm_it = cold.pop("max_iter_warm", None)
     warm = dict(cold)

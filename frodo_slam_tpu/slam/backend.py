@@ -65,6 +65,19 @@ def _write_pair_rows(edges: Edges, r0, i, j, idx_i2j, idx_j2i,
     )
 
 
+@jax.jit
+def _invert_match(idx_j2i, valid_match_i):
+    """Approximate inverse of a dense match: ``idx_j2i`` maps each query
+    pixel p to a target pixel; the returned seed maps each target pixel
+    back to p (identity where no valid inverse exists; scatter collisions
+    keep an arbitrary winner). Good enough as an iter_proj warm start —
+    the LM projector refines it."""
+    b, hw = idx_j2i.shape
+    ident = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
+    src = jnp.where(valid_match_i[..., 0], idx_j2i, hw)  # invalid -> dropped
+    return ident.at[jnp.arange(b)[:, None], src].set(ident, mode="drop")
+
+
 @partial(jax.jit, static_argnames=())
 def _ingest_pairs(q_conf_gate, q_conf_ba, c_conf,
                   X_i, C_i, n_i, X_j, C_j, n_j,
@@ -290,11 +303,33 @@ class BackendGraph:
             self.params, self.model_cfg, store.feat[slot_i][None], pos,
             store.feat[slot_j][None], pos, self.img_hw,
         )
-        cold_cfg, _ = matching.split_match_cfg(dict(self.match_cfg))
-        idx_i2j, valid_match_j = matching.match(
-            res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
-            None, **cold_cfg,
-        )
+        mc = dict(self.match_cfg)
+        seed = bool(mc.get("seed_consecutive", True))
+        cold_cfg, warm_cfg = matching.split_match_cfg(mc)
+        if seed:
+            # Seed the missing direction with the INVERSE of the tracker's
+            # match: the tracker mapped i-pixels -> j-pixels; the (i, j)
+            # direction needs j-pixels -> i-pixels, and a converged
+            # consecutive pair's correspondence is near-bijective (pixel
+            # correspondences are about the two IMAGES, so they transfer
+            # across the two pair decodes whenever the model is
+            # geometrically meaningful — trained weights; NOT random-weight
+            # harnesses). With a seed this good the warm search schedule
+            # applies (same argument as the tracker's warm frames; accuracy
+            # A/B in PERF.md round 3). Pixels without a valid inverse seed
+            # at identity; per-pixel validity gating absorbs the ones the
+            # warm reach cannot recover (consecutive edges are masked, not
+            # gated wholesale, global_opt.py:117-127).
+            idx_seed = _invert_match(idx_j2i.astype(jnp.int32), valid_match_i)
+            idx_i2j, valid_match_j = matching.match(
+                res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+                idx_seed, **warm_cfg,
+            )
+        else:
+            idx_i2j, valid_match_j = matching.match(
+                res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+                None, **cold_cfg,
+            )
         hw = self.hw
         flat1 = lambda x: x.reshape(1, hw, 1)  # noqa: E731
         (Qj, Qi, valid_j, valid_i, _fracs,

@@ -447,7 +447,14 @@ def test_add_consecutive_half_matches_add_factors():
         n_total=jnp.int32(2),
     )
 
-    match_cfg = tuple(sorted(dict(make_config().matching).items()))
+    # seed_consecutive off: cross-decode seeding assumes geometrically
+    # meaningful weights; with RANDOM weights the two pair decodes are
+    # mutually inconsistent, so this test compares the unseeded cold half
+    # path (the seeded path is validated on the consistent oracle world by
+    # the synthetic e2e suite)
+    mc = dict(make_config().matching)
+    mc["seed_consecutive"] = False
+    match_cfg = tuple(sorted(mc.items()))
     ba = BAConfig(max_iters=2, pin=1)
 
     g_full = BackendGraph(params, mcfg, ba, match_cfg, (h, w), max_edges=4, max_odom=2)

@@ -354,3 +354,22 @@ def test_match_warm_start_small_reach_equivalent():
     assert both.mean() > 0.7
     np.testing.assert_array_equal(np.asarray(idx_cold)[both], np.asarray(idx_warm)[both])
     assert vw.mean() >= vc.mean() - 0.02
+
+
+def test_invert_match_roundtrip():
+    """backend._invert_match: a valid near-bijective match inverts exactly;
+    unmatched target pixels seed at identity."""
+    from frodo_slam_tpu.slam.backend import _invert_match
+
+    hw = 16
+    # forward map: p -> (p + 3) % hw, valid everywhere except p=5
+    idx = (np.arange(hw, dtype=np.int32) + 3) % hw
+    valid = np.ones((1, hw, 1), bool)
+    valid[0, 5, 0] = False
+    inv = np.asarray(_invert_match(jnp.asarray(idx[None]), jnp.asarray(valid)))[0]
+    for q in range(hw):
+        p = (q - 3) % hw
+        if p == 5:
+            assert inv[q] == q  # unmatched target: identity seed
+        else:
+            assert inv[q] == p
