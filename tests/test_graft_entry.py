@@ -99,9 +99,12 @@ def test_bench_fails_fast_with_json_error(monkeypatch):
     t0 = time.monotonic()
     proc = subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=240,
     )
-    assert time.monotonic() - t0 < 100
+    # bound = 2 python+jax cold imports (bench + probe child) + probe budget;
+    # generous because the suite may share the host with a TPU bench run
+    # (observed 119s under that load; ~25s idle)
+    assert time.monotonic() - t0 < 200
     assert proc.returncode == 1
     line = proc.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
