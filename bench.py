@@ -145,7 +145,9 @@ def main():
     if tiny:
         mcfg, (h, w), n_frames, window = mast3r.tiny_config(), (32, 64), 8, 8
     else:
-        mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 32, WINDOW
+        mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 64, WINDOW
+    if os.environ.get("FRODO_BENCH_FRAMES"):
+        n_frames = max(4, int(os.environ["FRODO_BENCH_FRAMES"]))
 
     # A/B overrides (VERDICT r2 #2): every pending perf lever is selectable
     # from the environment so one long-lived TPU process can sweep the matrix
@@ -309,6 +311,15 @@ def main():
     T_new.block_until_ready()
     kf = kf_w
 
+    # tunnel-health context: one warmed small device->host sync, timed. The
+    # remote tunnel's fetch path varies by orders of magnitude between
+    # sessions (2026-08-18: 5-70 s per scalar fetch vs 36 ms in round 2);
+    # recording it beside the FPS makes a pathological-window number
+    # diagnosable instead of mysterious (scripts/tunnel_probe.py).
+    t_sync = time.perf_counter()
+    _ = float(res.match_frac)
+    sync_ms = (time.perf_counter() - t_sync) * 1e3
+
     # ---- timed end-to-end loop ---------------------------------------------
     edges = edges0
     t0 = time.perf_counter()
@@ -341,6 +352,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "frames": n_frames - 2,
+        "sync_ms": round(sync_ms, 1),
     }))
 
 

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Tunnel-health watcher: probe the remote-TPU tunnel every PERIOD seconds
+# and, the first time it reports healthy, run the round-3 A/B sweep
+# (scripts/tpu_ab_sweep.sh), then keep probing so later healthy windows are
+# visible in the log. Designed to run for hours under nohup:
+#   nohup bash scripts/tunnel_watch.sh > /tmp/tunnel_watch.log 2>&1 &
+#
+# Graceful stop: touch /tmp/tunnel_watch.stop (never kill the watcher while
+# a probe or sweep is mid-TPU-use — dying processes wedge the tunnel).
+set -u
+cd "$(dirname "$0")/.."
+PERIOD="${TUNNEL_WATCH_PERIOD:-600}"
+STOP=/tmp/tunnel_watch.stop
+STATUS=/tmp/tunnel_status.jsonl
+SWEEP_DONE=/tmp/tunnel_watch.sweep_done
+
+while true; do
+  [ -e "$STOP" ] && { echo "$(date -u +%FT%TZ) stop requested"; exit 0; }
+  # generous timeout: a slow tunnel makes the probe slow, not hung; only a
+  # truly wedged data path hits this, and then the tunnel is unusable anyway
+  out=$(timeout 900 python scripts/tunnel_probe.py 2>/dev/null | tail -1)
+  echo "$(date -u +%FT%TZ) $out" | tee -a "$STATUS"
+  if [ ! -e "$SWEEP_DONE" ] && echo "$out" | grep -q '"healthy": true'; then
+    echo "$(date -u +%FT%TZ) tunnel healthy -> running A/B sweep"
+    bash scripts/tpu_ab_sweep.sh /tmp/ab_sweep_results.txt
+    touch "$SWEEP_DONE"
+    echo "$(date -u +%FT%TZ) sweep complete"
+  fi
+  sleep "$PERIOD"
+done
