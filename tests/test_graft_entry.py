@@ -93,6 +93,11 @@ def test_bench_fails_fast_with_json_error(monkeypatch):
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # drop the axon sitecustomize: it force-registers the remote-TPU
+    # platform and OVERRIDES env JAX_PLATFORMS in every child, so with it
+    # present "nonexistent_platform" silently becomes a real (and possibly
+    # wedged/slow) TPU run instead of an unreachable-backend simulation
+    env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "nonexistent_platform"
     env["FRODO_BACKEND_PROBE_TIMEOUT"] = "30"
     env["FRODO_BENCH_TINY"] = "1"
