@@ -20,7 +20,13 @@ while true; do
   # truly wedged data path hits this, and then the tunnel is unusable anyway
   out=$(timeout 900 python scripts/tunnel_probe.py 2>/dev/null | tail -1)
   echo "$(date -u +%FT%TZ) $out" | tee -a "$STATUS"
-  if [ ! -e "$SWEEP_DONE" ] && echo "$out" | grep -q '"healthy": true'; then
+  # run the sweep in the first USABLE window (fetch path not pathological):
+  # full health may never arrive, relative A/Bs stay valid in any stable
+  # window, and bench.py records its own sync_ms context per run
+  usable=$(echo "$out" | python3 -c "import sys,json
+try: r=json.load(sys.stdin); print(int(r.get('ok') and r.get('scalar_fetch_ms',9e9)<1000))
+except Exception: print(0)")
+  if [ ! -e "$SWEEP_DONE" ] && [ "$usable" = "1" ]; then
     echo "$(date -u +%FT%TZ) tunnel healthy -> running A/B sweep"
     bash scripts/tpu_ab_sweep.sh /tmp/ab_sweep_results.txt
     touch "$SWEEP_DONE"
