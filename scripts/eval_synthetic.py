@@ -39,6 +39,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax
 
+if os.environ.get("FRODO_SYNTH_CPU", "1") == "1":
+    # belt and braces: when the axon sitecustomize rides PYTHONPATH it
+    # imports jax at interpreter start and the env-var platform override
+    # above is silently ignored; config.update wins any time before first
+    # backend use (tests/conftest.py:22-26)
+    jax.config.update("jax_platforms", "cpu")
+
 # FRODO_SYNTH_X64=0 runs the whole pipeline in f32 (BA solve: f32 Cholesky
 # + one iterative-refinement step) for the f64-vs-f32 eval-mode A/B
 if os.environ.get("FRODO_SYNTH_X64", "1") == "1":
@@ -169,6 +176,151 @@ def install_oracle(pts_w, D_desc, noise):
     mast3r.decode_and_heads = oracle_decode
 
 
+# ---------------------------------------------------------------------------
+# Plane-world oracle (calib + loop-closure modes)
+#
+# The identity-correspondence oracle above cannot exercise the CALIBRATED
+# pipeline: the calib residual is [pixel u,v, log z] (reference
+# gn_kernels.cu:2295-2414, geometry.py:63-104), which vanishes at ground
+# truth only if every pointmap point lies ON its pixel's ray through K. The
+# plane world renders each view by closed-form ray/plane intersection, so
+# pointmaps are ray-consistent by construction AND correspondences between
+# views are real (nearest-pixel, not identity) — a strictly harder, more
+# realistic test of the matcher.
+# ---------------------------------------------------------------------------
+
+def make_plane_world(K):
+    """World = one tilted textured plane n.X = d, ~4 m ahead of the origin.
+
+    Returns (render, desc_of_world, token_sig):
+      render(T_WC)   -> (X_cam (HW,3) on pixel rays, X_world (HW,3))
+      desc_of_world(X_w) -> (HW, 24) unit descriptors, smooth fourier
+                            features of the in-plane coordinates
+      token_sig(T_WC)    -> (N_TOK, 24) plane descriptors at the patch-token
+                            centers of this view (retrieval place signature)
+    """
+    from frodo_slam_tpu.ops import geometry, lie
+
+    n = np.asarray([0.06, -0.10, 1.0], np.float32)
+    n /= np.linalg.norm(n)
+    d = 4.0
+    e1 = np.cross([0.0, 1.0, 0.0], n)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(n, e1)
+    n_j, e1_j, e2_j = jnp.asarray(n), jnp.asarray(e1), jnp.asarray(e2)
+
+    # 12 fourier plane-waves -> 24-dim (sin, cos) descriptors. |k| in
+    # [3, 18]: pixel pitch on the plane is ~ d/fx ~ 0.04, so the descriptor
+    # autocorrelation stays above the 0.8 score gate at 1-pixel offsets
+    # (nearest-pixel matches survive) and decays by ~5 pixels (wrong
+    # matches are rejected) — mimicking trained local features.
+    rng = np.random.default_rng(11)
+    kmag = rng.uniform(3.0, 18.0, 12).astype(np.float32)
+    kang = rng.uniform(0, 2 * np.pi, 12).astype(np.float32)
+    kvec = np.stack([kmag * np.cos(kang), kmag * np.sin(kang)], -1)  # (12, 2)
+    kph = rng.uniform(0, 2 * np.pi, 12).astype(np.float32)
+    kvec_j, kph_j = jnp.asarray(kvec), jnp.asarray(kph)
+
+    uv = geometry.get_pixel_coords((H, W))  # (HW, 2)
+    dirs = geometry.backproject(uv, jnp.ones((HW, 1)), jnp.asarray(K))  # z=1
+
+    def render(T_WC):
+        t, s = T_WC[:3], T_WC[7]
+        sRd = lie.sim3_act(T_WC, dirs) - t  # s * R @ dirs
+        z = (d - jnp.dot(n_j, t)) / (sRd @ n_j)  # (HW,) depth along +z
+        X_cam = z[:, None] * dirs
+        X_w = lie.sim3_act(T_WC, X_cam)
+        return X_cam, X_w
+
+    def desc_of_world(X_w):
+        p = jnp.stack([X_w @ e1_j, X_w @ e2_j], -1)  # (..., 2) plane coords
+        phase = p @ kvec_j.T + kph_j  # (..., 12)
+        f = jnp.concatenate([jnp.sin(phase), jnp.cos(phase)], -1)  # (..., 24)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def token_sig(T_WC):
+        _, X_w = render(T_WC)
+        ty, tx = jnp.meshgrid(jnp.arange(H // 16), jnp.arange(W // 16),
+                              indexing="ij")
+        centers = ((ty * 16 + 8) * W + (tx * 16 + 8)).reshape(-1)
+        return desc_of_world(X_w[centers])
+
+    return render, desc_of_world, token_sig
+
+
+def install_plane_oracle(K, noise, token_desc=False):
+    """Patch the model entry points with the plane-world renderer.
+
+    ``token_desc``: also write each view's plane descriptors at the patch
+    centers into encoder-token channels 16:40 — a place signature that makes
+    ASMK retrieval similarity track viewpoint overlap (the role trained
+    encoder features play in the reference, retrieval_database.py:30-46)."""
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.ops import lie
+
+    render, desc_of_world, token_sig = make_plane_world(K)
+
+    def decode_pose(feat):
+        return feat[:, 0, :8] / (2.0 * POSE_SCALE)
+
+    def oracle_encode(params, cfg, img, portrait=None):
+        b = img.shape[0]
+        n_tok = (H // cfg.patch_size) * (W // cfg.patch_size)
+        pose_px = img.reshape(b, -1)[:, :9]
+        feat = jnp.zeros((b, n_tok, cfg.enc_embed_dim), jnp.float32)
+        feat = feat.at[:, 0, :9].set(pose_px)
+        if token_desc:
+            pose = pose_px[:, :8] / (2.0 * POSE_SCALE)
+            sig = jax.vmap(token_sig)(pose)  # (b, n_tok, 24)
+            feat = feat.at[:, :, 16:40].set(sig.astype(jnp.float32))
+        yy, xx = jnp.meshgrid(
+            jnp.arange(H // cfg.patch_size), jnp.arange(W // cfg.patch_size),
+            indexing="ij",
+        )
+        pos = jnp.broadcast_to(
+            jnp.stack([yy, xx], -1).reshape(1, n_tok, 2).astype(jnp.int32),
+            (b, n_tok, 2),
+        )
+        return feat, pos
+
+    def noisy(X, T_WC, salt):
+        if noise <= 0:
+            return X
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0),
+            jnp.abs(jnp.sum(T_WC * 1e4)).astype(jnp.int32) + salt,
+        )
+        return X + noise * jax.random.normal(key, X.shape, X.dtype)
+
+    def oracle_decode(params, cfg, f1, p1, f2, p2, img_hw, portrait=None):
+        pose1 = decode_pose(f1).astype(jnp.float32)  # (B, 8) view1 T_WC
+        pose2 = decode_pose(f2).astype(jnp.float32)  # (B, 8) view2 T_WC
+        b = pose1.shape[0]
+
+        def one(T1, T2):
+            X1c, X1w = render(T1)
+            X2c, X2w = render(T2)
+            # asymmetric-decode contract: res2 = view2's pointmap expressed
+            # in view1's coordinates (mast3r_utils.py:295-320)
+            X21 = lie.sim3_act(lie.sim3_rel(T1, T2), X2c)
+            d1 = desc_of_world(X1w)
+            d2 = desc_of_world(X2w)
+            return (noisy(X1c, T1, 1).reshape(H, W, 3),
+                    noisy(X21, T2, 2).reshape(H, W, 3),
+                    d1.reshape(H, W, 24), d2.reshape(H, W, 24))
+
+        X11, X21, d1, d2 = jax.vmap(one)(pose1, pose2)
+        ones = jnp.ones((b, H, W, 1), jnp.float32)
+        res1 = {"pts3d": X11, "conf": 5.0 * ones, "desc": d1,
+                "desc_conf": 4.0 * ones}
+        res2 = {"pts3d": X21, "conf": 5.0 * ones, "desc": d2,
+                "desc_conf": 4.0 * ones}
+        return res1, res2
+
+    mast3r.encode_image = oracle_encode
+    mast3r.decode_and_heads = oracle_decode
+
+
 def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None,
         per_frame=False):
     from frodo_slam_tpu.config import make_config
@@ -245,6 +397,141 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None,
         "ate_rmse": round(float(rmse), 6),
         "n_kf": len(slam.kf_timestamps),
         "frames_tracked_ok": ok_count,
+        "noise": noise,
+    }
+
+
+def _ate_of_system(slam, T_true, n_frames, out_dir):
+    from frodo_slam_tpu.utils import evaluate
+
+    out_dir = pathlib.Path(out_dir or tempfile.mkdtemp(prefix="synth_eval_"))
+    stamps, poses = slam.keyframe_poses()
+    traj = evaluate.save_traj(out_dir, "synth.txt", stamps, poses)
+    gt_rows = np.concatenate(
+        [np.arange(n_frames, dtype=np.float64)[:, None],
+         np.asarray(T_true[:, :7], np.float64)], axis=1)
+    gt_path = out_dir / "synth_gt.txt"
+    np.savetxt(gt_path, gt_rows, fmt="%.9f")
+    return float(evaluate.ate_rmse(str(gt_path), str(traj), max_dt=0.5))
+
+
+def run_calib(n_frames=20, noise=0.003, out_dir=None):
+    """CALIBRATED pipeline end-to-end on the plane world: pixel+log-depth
+    tracking GN (tracker.py:467-517) + the calibrated backend window solve
+    (global_opt.py:288-341) + ray constraining, through the full system."""
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.system import SLAM
+
+    K = np.asarray([[100.0, 0.0, W / 2], [0.0, 100.0, H / 2], [0.0, 0.0, 1.0]],
+                   np.float32)
+    install_plane_oracle(K, noise)
+    T_true = trajectory(n_frames)
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    cfg = make_config(
+        use_calib=True,
+        tracking={"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30,
+                  "match_frac_thresh": 1.1},  # keyframe every frame
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
+        tpu={"max_keyframes": max(8, n_frames + 2), "max_edges": 32,
+             "max_odom_edges": 8},
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), calib=K, retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=True)
+    assert bool(slam.tcfg.use_calib), "calib mode did not reach the tracker"
+
+    ok_count = 0
+    for t in range(n_frames):
+        ok, pose, _ = slam.grab_rgb(encode_pose_image(T_true[t]),
+                                    timestamp=float(t))
+        ok_count += int(ok)
+    slam.terminate()
+    rmse = _ate_of_system(slam, T_true, n_frames, out_dir)
+    return {
+        "mode": "calib",
+        "ate_rmse": round(rmse, 6),
+        "n_kf": len(slam.kf_timestamps),
+        "frames_tracked_ok": ok_count,
+        "noise": noise,
+    }
+
+
+def trajectory_loop(n_frames):
+    """Out-and-back arc: the camera returns to (near) its start pose, so
+    the final keyframes genuinely re-observe the first ones."""
+    from frodo_slam_tpu.ops import lie
+
+    poses = []
+    for t in range(n_frames):
+        s = t / max(n_frames - 1, 1)
+        a = np.sin(np.pi * s)  # 0 -> 1 -> 0
+        xi = jnp.asarray(
+            [1.1 * a, 0.08 * np.sin(2 * np.pi * s), 0.35 * a,
+             0.03 * np.sin(2 * np.pi * s), 0.22 * a, 0.02 * a,
+             0.0], jnp.float32)
+        poses.append(lie.sim3_exp(xi))
+    return jnp.stack(poses)
+
+
+def run_loop(n_frames=24, noise=0.004, out_dir=None, with_retrieval=True):
+    """Loop-closure accuracy on the plane world: an out-and-back trajectory
+    accumulates drift from pointmap noise; with the retrieval database on,
+    the backend inserts non-consecutive (loop-closure) edges between the
+    revisit keyframes and the global BA pulls the loop shut
+    (vio.py:124-148, global_opt.py:69-141)."""
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.system import SLAM
+
+    K = np.asarray([[100.0, 0.0, W / 2], [0.0, 100.0, H / 2], [0.0, 0.0, 1.0]],
+                   np.float32)
+    install_plane_oracle(K, noise, token_desc=True)
+    T_true = trajectory_loop(n_frames)
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    cfg = make_config(
+        tracking={"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30,
+                  "match_frac_thresh": 1.1},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.2, "max_iters": 6},
+        tpu={"max_keyframes": max(8, n_frames + 2),
+             "max_edges": max(64, 3 * n_frames), "max_odom_edges": 8},
+    )
+    db = None
+    if with_retrieval:
+        from frodo_slam_tpu.retrieval.asmk import Codebook
+        from frodo_slam_tpu.retrieval.database import RetrievalDatabase
+        from frodo_slam_tpu.retrieval.model import RetrievalHead
+
+        head = RetrievalHead.init(jax.random.PRNGKey(1),
+                                  backbone_dim=mcfg.enc_embed_dim,
+                                  hdims=[mcfg.enc_embed_dim], nfeat=8)
+        db = RetrievalDatabase(
+            head, Codebook.random(np.random.default_rng(0), 64,
+                                  mcfg.enc_embed_dim))
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=db,
+                use_backend=True, use_reloc=False, single_thread=True)
+
+    ok_count = 0
+    for t in range(n_frames):
+        ok, pose, _ = slam.grab_rgb(encode_pose_image(T_true[t]),
+                                    timestamp=float(t))
+        ok_count += int(ok)
+    slam.terminate()
+    pairs = list(slam.backend._pairs)
+    loop_edges = [(i, j) for i, j in pairs if abs(j - i) > 1]
+    # a genuine loop closure links the revisit tail to the early map
+    long_edges = [(i, j) for i, j in loop_edges if abs(j - i) >= n_frames // 3]
+    rmse = _ate_of_system(slam, T_true, n_frames, out_dir)
+    return {
+        "mode": "loop" if with_retrieval else "loop_noretrieval",
+        "ate_rmse": round(rmse, 6),
+        "n_kf": len(slam.kf_timestamps),
+        "frames_tracked_ok": ok_count,
+        "n_loop_edges": len(loop_edges),
+        "n_long_loop_edges": len(long_edges),
         "noise": noise,
     }
 
@@ -348,6 +635,12 @@ if __name__ == "__main__":
     ap.add_argument("--episode", action="store_true",
                     help="run the failure-path episode (fnn fallback + "
                          "loss->reset->re-init) instead of the ATE eval")
+    ap.add_argument("--calib", action="store_true",
+                    help="calibrated pipeline on the ray-consistent plane "
+                         "world (pixel+log-depth GN, calib backend solve)")
+    ap.add_argument("--loop", action="store_true",
+                    help="loop-closure A/B on the plane world: out-and-back "
+                         "trajectory with and without the retrieval database")
     ap.add_argument("--per-frame", action="store_true",
                     help="normal keyframing + per-frame-pose ATE (exercises "
                          "the warm-started matcher path)")
@@ -355,6 +648,14 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.episode:
         print(json.dumps(run_episode(args.noise)))
+    elif args.calib:
+        print(json.dumps(run_calib(args.frames, args.noise, out_dir=args.out)))
+    elif args.loop:
+        on = run_loop(args.frames, args.noise, out_dir=args.out,
+                      with_retrieval=True)
+        off = run_loop(args.frames, args.noise, out_dir=args.out,
+                       with_retrieval=False)
+        print(json.dumps({"loop": on, "no_retrieval": off}))
     else:
         print(json.dumps(run(args.frames, args.noise,
                              single_thread=not args.threaded, out_dir=args.out,

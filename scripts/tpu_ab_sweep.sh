@@ -38,4 +38,9 @@ run warm_d1 FRODO_BENCH_DILATION_WARM=1
 # 7. combined winners — EDIT after reading 1-6, then rerun just this line:
 # run combined FRODO_BENCH_REFINE=pallas_tile FRODO_BENCH_HEAD_DTYPE=bfloat16
 
+# 8. eval-mode f64 BA solve cost (VERDICT r2 #7; not a bench A/B — the
+# real-time path stays f32, this prices the eval default)
+echo "== f64_ba_solve ==" | tee -a "$OUT"
+timeout 3600 python scripts/profile_f64_ba.py 2>>/tmp/ab_stderr.log | tee -a "$OUT"
+
 echo "sweep done -> $OUT"
