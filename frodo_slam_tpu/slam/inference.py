@@ -50,13 +50,32 @@ def decode_mono(params, cfg, feat, pos, img_hw):
     return Xii, Cii
 
 
+@partial(jax.jit, static_argnames=("model_cfg", "img_hw"))
+def _model_stage(params, model_cfg, feat_f, pos_f, feat_k, pos_k, img_hw):
+    # THE one jitted pair-decode program, shared by the tracker's per-frame
+    # model stage and the backend's consecutive-edge half reuse. Name and
+    # signature deliberately match the round-2 tracker._model_stage program
+    # so the persistent compile cache still hits (a ViT-L remote compile
+    # costs 10-20 min through the tunnel's compile service).
+    return mast3r.decode_and_heads(
+        params, model_cfg, feat_f, pos_f, feat_k, pos_k, img_hw
+    )
+
+
 def decode_asymmetric(params, cfg, feat_f, pos_f, feat_k, pos_k, img_hw):
     """(frame, keyframe) one-way decode (mast3r_utils.py:295-320).
 
     Returns per-view pointmaps/conf/desc/desc_conf with frame as view1.
+
+    MUST delegate to the jitted ``_model_stage``: callers outside any jit
+    (backend consecutive-edge half reuse, bench backend_step) otherwise run
+    the full twin-decoder + heads EAGERLY — hundreds of op-by-op
+    dispatches, which through the remote-TPU tunnel (~1-3 ms each) cost
+    SECONDS per keyframe. Measured: the round-3 sweep's half-reuse configs
+    ran 1.9 FPS vs 17.1 with the half path off, entirely from this one
+    missing jit.
     """
-    res11, res21 = mast3r.decode_and_heads(params, cfg, feat_f, pos_f, feat_k, pos_k, img_hw)
-    return res11, res21
+    return _model_stage(params, cfg, feat_f, pos_f, feat_k, pos_k, img_hw)
 
 
 def match_asymmetric(params, cfg, match_cfg, feat_f, pos_f, feat_k, pos_k, img_hw,

@@ -30,12 +30,12 @@ from ..ops.geometry import (
     point_to_ray_dist,
     project_calib,
 )
-from ..models import mast3r
 from ..ops import matching
 from ..ops.normal_eqs import ray_dist_drd_cols, reduce_sim3_system
 from ..ops.robust import huber
 from . import frame as frame_mod
 from .frame import Frame
+from . import inference as inference_mod
 from .inference import AsymOut
 
 
@@ -258,11 +258,10 @@ def opt_pose_calib_sim3(cfg: TrackingCfg, Xf, Xk, T_WCf, T_WCk, Qk, valid, meas_
 # full tracking step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("model_cfg", "img_hw"))
-def _model_stage(params, model_cfg, feat_f, pos_f, feat_k, pos_k, img_hw):
-    return mast3r.decode_and_heads(
-        params, model_cfg, feat_f, pos_f, feat_k, pos_k, img_hw
-    )
+# the ONE jitted pair-decode program, shared with the backend's
+# consecutive-edge half reuse (a duplicate ViT-L decode compile costs
+# 10-20 min through the remote-compile service)
+_model_stage = inference_mod._model_stage
 
 
 def track_step(

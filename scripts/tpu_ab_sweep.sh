@@ -16,8 +16,10 @@ run() {
   local name="$1"; shift
   echo "== $name ==" | tee -a "$OUT"
   # generous timeout: first compile through the remote-compile service is
-  # slow; a clean timeout beats a hung round
-  timeout 3600 env "$@" python bench.py 2>/tmp/ab_stderr.log | tail -1 | tee -a "$OUT"
+  # slow; a clean timeout beats a hung round. Per-config stderr: a failed
+  # config must stay diagnosable after later runs (round 3: attn_pallas
+  # died silently and the next run overwrote its traceback)
+  timeout 3600 env "$@" python bench.py 2>"/tmp/ab_stderr.$name.log" | tail -1 | tee -a "$OUT"
   echo "rc=$? $(date -u +%H:%M:%S)" | tee -a "$OUT"
 }
 
