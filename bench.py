@@ -172,6 +172,11 @@ def main():
     if os.environ.get("FRODO_BENCH_MAXITER_WARM") is not None:
         match_cfg_d["max_iter_warm"] = int(
             os.environ["FRODO_BENCH_MAXITER_WARM"])
+    if os.environ.get("FRODO_BENCH_NO_SEED"):
+        # half reuse WITHOUT the inverse-match seed (cold match for the
+        # missing direction): isolates _invert_match + the warm schedule
+        # from the rest of the half path
+        match_cfg_d["seed_consecutive"] = False
     match_cfg = tuple(sorted(match_cfg_d.items()))
     tcfg = TrackingCfg(
         min_match_frac=0.0,  # synthetic frames: keep the full pipeline running
@@ -355,6 +360,30 @@ def main():
         "frames": n_frames - 2,
         "sync_ms": round(sync_ms, 1),
     }))
+
+    if os.environ.get("FRODO_BENCH_DEBUG_CACHE"):
+        # a jit trace-cache that scales with the keyframe count means a
+        # per-call RETRACE (Python tracing of the ViT-L decoder costs
+        # seconds; it then HITS the compile cache, so JAX_LOG_COMPILES
+        # stays silent — the round-3 half-reuse regression's signature)
+        from frodo_slam_tpu.slam import inference as inf_mod
+        from frodo_slam_tpu.slam import backend as backend_mod
+        for name, fn in (
+            ("_model_stage", inf_mod._model_stage),
+            ("decode_symmetric_batch", inf_mod.decode_symmetric_batch),
+            ("match", matching_ops.match),
+            ("_invert_match", _invert_match),
+            ("_ingest_pairs", _ingest_pairs),
+            ("_write_pair_rows", _write_pair_rows),
+            ("track_step_post", __import__("frodo_slam_tpu.slam.tracker",
+                                           fromlist=["track_step_post"]).track_step_post),
+            ("encode", encode),
+            ("ba_solve", ba_solve),
+        ):
+            try:
+                print(f"cache[{name}] = {fn._cache_size()}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                print(f"cache[{name}] ? {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

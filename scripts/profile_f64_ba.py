@@ -97,13 +97,17 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True,
         )
-        line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
+        lines = proc.stdout.strip().splitlines()
         try:
-            rec = json.loads(line)
+            rec = json.loads(lines[-1]) if lines else {}
         except json.JSONDecodeError:
-            rec = {"error": proc.stderr.strip().splitlines()[-1:]}
+            rec = {}
+        if not rec:
+            # child produced no JSON: surface its failure, don't print "{}"
+            rec = {"error": proc.stderr.strip().splitlines()[-3:],
+                   "rc": proc.returncode}
         results[{"0": "f32", "1": "f64"}[flag]] = rec
-        print(line, flush=True)
+        print(json.dumps(rec), flush=True)
     f32 = results.get("f32", {}).get("solve_ms")
     f64 = results.get("f64", {}).get("solve_ms")
     if f32 and f64:
