@@ -177,6 +177,15 @@ def main():
         # missing direction): isolates _invert_match + the warm schedule
         # from the rest of the half path
         match_cfg_d["seed_consecutive"] = False
+    # consecutive-edge half reuse: default follows the config knob
+    # (tpu.consecutive_half_reuse, OFF — see base.yaml for the measured
+    # remote-tunnel async pathology); FRODO_BENCH_HALF=1 / NO_HALF=1 force
+    if os.environ.get("FRODO_BENCH_HALF"):
+        use_half = True
+    elif os.environ.get("FRODO_BENCH_NO_HALF"):
+        use_half = False
+    else:
+        use_half = bool(cfg.tpu.get("consecutive_half_reuse", False))
     match_cfg = tuple(sorted(match_cfg_d.items()))
     tcfg = TrackingCfg(
         min_match_frac=0.0,  # synthetic frames: keep the full pipeline running
@@ -342,8 +351,7 @@ def main():
             edges, T_new, fracs = backend_step(
                 edges, prev_kf.feat, prev_kf.pos, fused.feat, fused.pos,
                 jax.random.PRNGKey(i),
-                pair_half=(None if os.environ.get("FRODO_BENCH_NO_HALF")
-                           else res.pair_half),
+                pair_half=(res.pair_half if use_half else None),
             )
             prev_kf = kf
             idx_init = None

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Optional
 
 import jax
@@ -116,20 +117,36 @@ class Frame:
         return self.C / jnp.maximum(self.N, 1).astype(self.C.dtype)
 
 
+@functools.lru_cache(maxsize=8)
+def _empty_frame_consts(hw):
+    """Per-shape constant buffers for make_empty_frame. jax arrays are
+    immutable, so one shared instance serves every frame — allocating them
+    per frame cost 5 eager RPCs/frame through the remote-TPU tunnel (~1-3
+    ms each), in the per-frame hot path (system.grab_rgb, bench)."""
+    from ..ops.lie import sim3_identity
+
+    return (
+        sim3_identity(),
+        jnp.zeros((hw, 3), jnp.float32),
+        jnp.zeros((hw, 1), jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+
+
 def make_empty_frame(frame_id, img, feat, pos, T_WC=None, odom=None) -> Frame:
     hw = (img.shape[1] // 1) * (img.shape[2] // 1)
-    from ..ops.lie import sim3_identity
+    ident, X0, C0, zero_i32 = _empty_frame_consts(hw)
 
     return Frame(
         frame_id=jnp.asarray(frame_id, jnp.int32),
         img=img,
-        T_WC=sim3_identity() if T_WC is None else T_WC,
-        X_canon=jnp.zeros((hw, 3), jnp.float32),
-        C=jnp.zeros((hw, 1), jnp.float32),
+        T_WC=ident if T_WC is None else T_WC,
+        X_canon=X0,
+        C=C0,
         feat=feat,
         pos=pos,
-        N=jnp.zeros((), jnp.int32),
-        N_updates=jnp.zeros((), jnp.int32),
+        N=zero_i32,
+        N_updates=zero_i32,
         odom=odom,
     )
 

@@ -185,6 +185,7 @@ class SLAM:
         # (bounded memory; the newest keyframes matter most).
         self._backend_tasks: queue.Queue = queue.Queue()
         self._backend_queue_max = int(cfg.tpu.get("backend_queue_max", 8))
+        self._half_reuse = bool(cfg.tpu.get("consecutive_half_reuse", False))
         self._backend_worker: Optional[threading.Thread] = None
         self._map_epoch = 0  # bumped on reset(); stale backend merges are dropped
 
@@ -423,8 +424,12 @@ class SLAM:
                     # consecutive-edge half reuse: hand the backend the
                     # tracker's direction of this pair's decode+match. Not
                     # valid when the fnn fallback fired (the raw projective
-                    # match was too sparse — let the backend cold-match both)
-                    half = None if used_fnn else res.pair_half
+                    # match was too sparse — let the backend cold-match
+                    # both). Config-gated: see configs/base.yaml tpu.
+                    # consecutive_half_reuse for the measured remote-tunnel
+                    # async pathology that keeps this off by default.
+                    half = (res.pair_half if self._half_reuse and not used_fnn
+                            else None)
                     self._run_backend(len(self.kf_timestamps) - 1, odom_factor,
                                       half)
         if odom_pose is not None and self.last_odom_pose is None:

@@ -292,7 +292,6 @@ def track_step(
 
     Returns (kf_next, fused_frame, TrackResult).
     """
-    h, w = img_hw
     res11, res21 = _model_stage(
         params, model_cfg, frame.feat, frame.pos, kf.feat, kf.pos, img_hw
     )
@@ -302,26 +301,12 @@ def track_step(
         idx_f2k_init,
         **(warm_cfg if idx_f2k_init is not None else cold_cfg),
     )
-    flat = lambda x, c: x.reshape(h * w, c)  # noqa: E731
-    out = AsymOut(
-        idx_f2k=idx_f2k,
-        valid_match_k=valid_match_k,
-        Xff=flat(res11["pts3d"], 3),
-        Cff=flat(res11["conf"], 1),
-        Qff=flat(res11["desc_conf"], 1),
-        Xkf=flat(res21["pts3d"], 3),
-        Ckf=flat(res21["conf"], 1),
-        Qkf=flat(res21["desc_conf"], 1),
-        Dff=flat(res11["desc"], res11["desc"].shape[-1]),
-        Dkf=flat(res21["desc"], res21["desc"].shape[-1]),
+    # NO eager ops between the three dispatches: the AsymOut flattening
+    # happens INSIDE track_step_post's program. Eager reshapes here were 12
+    # extra per-frame RPCs through the remote-TPU tunnel (~1-3 ms each).
+    return track_step_post(
+        cfg, img_hw, kf, frame, res11, res21, idx_f2k, valid_match_k, K
     )
-    kf_next, fused, res = track_step_post(cfg, img_hw, kf, frame, out, K)
-    # stash the raw (pre-fnn) projective half for backend consecutive-edge
-    # reuse; stays on device, only consumed if this frame becomes a keyframe
-    res = res._replace(pair_half=(
-        out.idx_f2k, out.valid_match_k, out.Qff[None], out.Qkf[None]
-    ))
-    return kf_next, fused, res
 
 
 @partial(jax.jit, static_argnames=("cfg", "img_hw"))
@@ -330,7 +315,10 @@ def track_step_post(
     img_hw,
     kf: Frame,
     frame: Frame,
-    out,
+    res11,
+    res21,
+    idx_f2k_b: jax.Array,  # (1, HW) raw projective match
+    valid_match_k_b: jax.Array,  # (1, HW, 1)
     K: Optional[jax.Array] = None,
 ):
     """Everything after decode+match: gating, GN, pointmap fusion, new-KF
@@ -341,6 +329,20 @@ def track_step_post(
     """
     h, w = img_hw
     hw = h * w
+
+    flat = lambda x, c: x.reshape(hw, c)  # noqa: E731
+    out = AsymOut(
+        idx_f2k=idx_f2k_b,
+        valid_match_k=valid_match_k_b,
+        Xff=flat(res11["pts3d"], 3),
+        Cff=flat(res11["conf"], 1),
+        Qff=flat(res11["desc_conf"], 1),
+        Xkf=flat(res21["pts3d"], 3),
+        Ckf=flat(res21["conf"], 1),
+        Qkf=flat(res21["desc_conf"], 1),
+        Dff=flat(res11["desc"], res11["desc"].shape[-1]),
+        Dkf=flat(res21["desc"], res21["desc"].shape[-1]),
+    )
 
     # fuse the frame's fresh pointmap (tracker.py:177)
     Xn, Cn, Nn, Un = frame_mod.update_pointmap(
@@ -465,4 +467,11 @@ def track_step_post(
             used_fnn.astype(jnp.float32)[None],
         ]
     )
-    return kf_next, frame, TrackResult(flags=flags, idx_f2k=idx_f2k[None])
+    # pair_half: the raw (PRE-fnn) projective half for backend
+    # consecutive-edge reuse; stays on device, only consumed if this frame
+    # becomes a keyframe
+    return kf_next, frame, TrackResult(
+        flags=flags,
+        idx_f2k=idx_f2k[None],
+        pair_half=(idx_f2k_b, valid_match_k_b, out.Qff[None], out.Qkf[None]),
+    )

@@ -35,7 +35,7 @@ from frodo_slam_tpu.slam.tracker import TrackingCfg, track_step
 
 from bench import _steady_state_window, _synthetic_frames
 
-mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 20, 64
+mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 28, 64
 KF_EVERY = 8
 cfg = make_config()
 match_cfg_d = dict(cfg.matching)
@@ -120,7 +120,6 @@ def run(use_half):
     sync(res.match_frac)
     kf_w, fused, res = full_step(params, kf_w, frames[1], res.idx_f2k)
     sync(res.match_frac)
-    edges = jax.tree.map(jnp.copy, edges0)
     for ph in (None, res.pair_half):
         if ph is not None:
             idx_j2i, vm_i, Qjj, Qij = ph
@@ -134,19 +133,39 @@ def run(use_half):
             out = match_symmetric(params, mcfg, match_cfg_d, kf_w.feat, kf_w.pos,
                                   fused.feat, fused.pos, (h, w))
             sync(out[0])
-    T = ba_solve(perturb(jax.random.PRNGKey(1)), edges)
+    # warm ingest/write/solve too (the first diag run paid 2.5 + 6.0 s of
+    # uncached ingest/write on its first keyframe); use a COPY of edges0 —
+    # _write_pair_rows donates its edge buffers
+    (idx_i2j_w, idx_j2i_w, vm_j_w, vm_i_w, Qii_w, Qjj_w, Qji_w, Qij_w,
+     X4_w, Cii_w, Cjj_w) = out
+    n_one = jnp.ones((1,), jnp.int32)
+    ing = _ingest_pairs(
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        X_win[window - 2: window - 1], C_win[window - 2: window - 1], n_one,
+        X_win[window - 1: window], C_win[window - 1: window], n_one,
+        idx_i2j_w.astype(jnp.int32), idx_j2i_w.astype(jnp.int32),
+        vm_j_w, vm_i_w, Qii_w, Qjj_w, Qji_w, Qij_w)
+    (Qj, Qi, valid_j, valid_i, fracs, XiT_r0, w0_r0, XiT_r1, w0_r1) = ing
+    edges_w = _write_pair_rows(
+        jax.tree.map(jnp.copy, edges0), live_rows,
+        jnp.int32(window - 2), jnp.int32(window - 1),
+        idx_i2j_w[0], idx_j2i_w[0], valid_j[0, :, 0], valid_i[0, :, 0],
+        Qj[0, :, 0], Qi[0, :, 0],
+        cache=(XiT_r0[0], w0_r0[0], XiT_r1[0], w0_r1[0]))
+    T = ba_solve(perturb(jax.random.PRNGKey(1)), edges_w)
     sync(T)
     kf = kf_w
 
     t_all0 = time.perf_counter()
     idx_init = res.idx_f2k
     prev_kf = kf
-    edges = edges0
+    edges = jax.tree.map(jnp.copy, edges0)  # donated per write; keep edges0 intact
     for i in range(2, n_frames):
         kf, fused, res = full_step(params, kf, frames[i], idx_init)
         idx_init = res.idx_f2k
         if i % KF_EVERY == 0:
             sync(res.match_frac)  # drain the per-frame stream first
+            stage("syncfloor", lambda: res.match_frac)  # pure fetch cost
             feat_i, pos_i = prev_kf.feat, prev_kf.pos
             feat_j, pos_j = fused.feat, fused.pos
             if use_half:

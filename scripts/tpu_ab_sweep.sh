@@ -23,12 +23,12 @@ run() {
   echo "rc=$? $(date -u +%H:%M:%S)" | tee -a "$OUT"
 }
 
-# 1. baseline = new defaults (warm split 2/4, half reuse, refine auto=pallas)
-run baseline_new_defaults FRODO_DUMMY=
+# 1. baseline = defaults (warm split 2/4, half reuse OFF, refine auto=pallas)
+run baseline_defaults FRODO_DUMMY=
 # 2. isolate the warm split (turn it off)
 run no_warm_split FRODO_BENCH_DILATION_WARM=0 FRODO_BENCH_MAXITER_WARM=0
-# 3. isolate the half reuse (turn it off)
-run no_half_reuse FRODO_BENCH_NO_HALF=1
+# 3. the half reuse (ON — default off per the async-stream pathology, PERF.md r3)
+run half_reuse FRODO_BENCH_HALF=1
 # 4. refine kernel layout A/B
 run refine_pallas_tile FRODO_BENCH_REFINE=pallas_tile
 run refine_shift FRODO_BENCH_REFINE=shift
