@@ -172,6 +172,8 @@ def main():
     if os.environ.get("FRODO_BENCH_MAXITER_WARM") is not None:
         match_cfg_d["max_iter_warm"] = int(
             os.environ["FRODO_BENCH_MAXITER_WARM"])
+    if os.environ.get("FRODO_BENCH_SYM_IMPL"):
+        match_cfg_d["symmetric_impl"] = os.environ["FRODO_BENCH_SYM_IMPL"]
     if os.environ.get("FRODO_BENCH_NO_SEED"):
         # half reuse WITHOUT the inverse-match seed (cold match for the
         # missing direction): isolates _invert_match + the warm schedule
@@ -233,6 +235,12 @@ def main():
     odom0 = empty_odom_edges(1)
     s_bar = jnp.full((window,), -1.0, jnp.float32)
     live_rows = jnp.int32(2 * (window - 1))  # the pair slot the live KF writes
+    # per-KF constants hoisted out of backend_step: each jnp scalar/ones
+    # creation is an eager RPC through the remote tunnel
+    n_one = jnp.ones((1,), jnp.int32)
+    zero_f32 = jnp.float32(0.0)
+    kf_i_id = jnp.int32(window - 2)
+    kf_j_id = jnp.int32(window - 1)
 
     @jax.jit
     def perturb(key):
@@ -269,13 +277,12 @@ def main():
             Qii = res11["desc_conf"].reshape(1, h * w, 1)
             Qji = res21["desc_conf"].reshape(1, h * w, 1)
         else:
-            (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = (
+            (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij) = (
                 match_symmetric(params, mcfg, match_cfg_d, feat_i, pos_i, feat_j, pos_j, (h, w))
             )
-        n_one = jnp.ones((1,), jnp.int32)
         (Qj, Qi, valid_j, valid_i, fracs, XiT_r0, w0_r0, XiT_r1, w0_r1) = (
             _ingest_pairs(
-                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                zero_f32, zero_f32, zero_f32,
                 X_win[window - 2 : window - 1], C_win[window - 2 : window - 1],
                 n_one,
                 X_win[window - 1 : window], C_win[window - 1 : window], n_one,
@@ -287,7 +294,7 @@ def main():
         # add_factors skips this host sync (backend.py need_fracs); keep the
         # device-side fracs value flowing but do not fetch it
         edges = _write_pair_rows(
-            edges, live_rows, jnp.int32(window - 2), jnp.int32(window - 1),
+            edges, live_rows, kf_i_id, kf_j_id,
             idx_i2j[0], idx_j2i[0], valid_j[0, :, 0], valid_i[0, :, 0],
             Qj[0, :, 0], Qi[0, :, 0],
             cache=(XiT_r0[0], w0_r0[0], XiT_r1[0], w0_r1[0]),

@@ -395,6 +395,7 @@ def split_match_cfg(match_cfg) -> tuple:
     (warm == cold)."""
     cold = dict(match_cfg)
     cold.pop("seed_consecutive", None)  # backend policy knob, not a match() arg
+    cold.pop("symmetric_impl", None)  # match_symmetric decode strategy knob
     warm_d = cold.pop("dilation_max_warm", None)
     warm_it = cold.pop("max_iter_warm", None)
     warm = dict(cold)

@@ -231,7 +231,7 @@ class BackendGraph:
             pos = jnp.broadcast_to(store.pos[None], (n_pairs, *store.pos.shape))
 
         (idx_i2j, idx_j2i, valid_match_j, valid_match_i,
-         Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = match_symmetric(
+         Qii, Qjj, Qji, Qij) = match_symmetric(
             self.params, self.model_cfg, dict(self.match_cfg),
             feat_i, pos, feat_j, pos, self.img_hw,
         )

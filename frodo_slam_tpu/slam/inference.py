@@ -139,27 +139,54 @@ def match_symmetric(params, cfg, match_cfg, feat_i, pos_i, feat_j, pos_j, img_hw
 
     Returns (idx_i2j, idx_j2i, valid_match_j, valid_match_i, Qii, Qjj, Qji,
     Qij) with Q* shaped (N, HW, 1).
+
+    ``matching.symmetric_impl`` selects the decode strategy:
+    - ``batch`` — both directions of N pairs packed into ONE decoder batch
+      of 2N + one cold match of 2N (decode_symmetric_batch);
+    - ``asym2`` — TWO asymmetric decodes of batch N + two cold matches of
+      batch N. At N=1 (the consecutive-edge stream) every program is the
+      tracker's own cached per-frame program, and the measured serial cost
+      is lower (decode_symmetric_batch 113.6 ms vs 2x20.9 ms asymmetric on
+      v5e, PERF.md round 3) — the 2N batch pays vmapped-conv DPT heads.
     """
+    mc = dict(match_cfg)
+    impl = mc.pop("symmetric_impl", "batch")
+    # backend pair matching is never warm-started: full cold-start reach
+    cold_cfg, _ = matching.split_match_cfg(mc)
+    n = feat_i.shape[0]
+    hw = img_hw[0] * img_hw[1]
+    rs = lambda a: a.reshape(n, hw, 1)  # noqa: E731
+
+    if impl == "asym2":
+        # [ii, ji] and [jj, ij] halves via the shared jitted pair decode
+        res_ii, res_ji = _model_stage(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw)
+        res_jj, res_ij = _model_stage(params, cfg, feat_j, pos_j, feat_i, pos_i, img_hw)
+        idx_i2j, valid_match_j = matching.match(
+            res_ii["pts3d"], res_ji["pts3d"], res_ii["desc"], res_ji["desc"],
+            None, **cold_cfg)
+        idx_j2i, valid_match_i = matching.match(
+            res_jj["pts3d"], res_ij["pts3d"], res_jj["desc"], res_ij["desc"],
+            None, **cold_cfg)
+        return (
+            idx_i2j, idx_j2i, valid_match_j, valid_match_i,
+            rs(res_ii["desc_conf"]), rs(res_jj["desc_conf"]),
+            rs(res_ji["desc_conf"]), rs(res_ij["desc_conf"]),
+        )
+
     X, C, D, Q = decode_symmetric_batch(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw)
-    n, h, w = X.shape[1:4]
 
     X11 = jnp.concatenate([X[0], X[2]], axis=0)  # (2N, h, w, 3): ii, jj
     X21 = jnp.concatenate([X[1], X[3]], axis=0)  # ji, ij
     D11 = jnp.concatenate([D[0], D[2]], axis=0)
     D21 = jnp.concatenate([D[1], D[3]], axis=0)
 
-    # backend pair matching is never warm-started: full cold-start reach
-    cold_cfg, _ = matching.split_match_cfg(match_cfg)
     idx_1_to_2, valid_match_2 = matching.match(X11, X21, D11, D21, None, **cold_cfg)
 
     idx_i2j = idx_1_to_2[:n]
     idx_j2i = idx_1_to_2[n:]
     valid_match_j = valid_match_2[:n]
     valid_match_i = valid_match_2[n:]
-    hw = h * w
-    rs = lambda a: a.reshape(n, hw, 1)  # noqa: E731
     return (
         idx_i2j, idx_j2i, valid_match_j, valid_match_i,
         rs(Q[0]), rs(Q[2]), rs(Q[1]), rs(Q[3]),
-        X.reshape(4, n, hw, 3), rs(C[0]), rs(C[2]),
     )

@@ -225,7 +225,7 @@ def profile_backend(params, cfg, fetch_base):
     ms = timeit("backend match_symmetric (pair)", lambda: match_symmetric(
         params, cfg, match_cfg_d, feat_i, pos, feat_j, pos, (h, w)),
         n=5, fetch_base=fetch_base)
-    (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = ms
+    (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij) = ms
 
     n_one = jnp.ones((1,), jnp.int32)
     ing = timeit("backend _ingest_pairs", lambda: _ingest_pairs(

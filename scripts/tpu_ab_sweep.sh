@@ -32,6 +32,9 @@ run half_reuse FRODO_BENCH_HALF=1
 # 4. refine kernel layout A/B
 run refine_pallas_tile FRODO_BENCH_REFINE=pallas_tile
 run refine_shift FRODO_BENCH_REFINE=shift
+# 4b. backend symmetric decode strategy (PERF.md r3: 2N-batch DPT heads
+# measured 113.6 ms vs 2x20.9 ms asymmetric)
+run sym_asym2 FRODO_BENCH_SYM_IMPL=asym2
 # 5. model dtype/attention levers
 run head_bf16 FRODO_BENCH_HEAD_DTYPE=bfloat16
 run attn_pallas FRODO_BENCH_ATTN=pallas
