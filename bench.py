@@ -145,7 +145,11 @@ def main():
     if tiny:
         mcfg, (h, w), n_frames, window = mast3r.tiny_config(), (32, 64), 8, 8
     else:
-        mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 64, WINDOW
+        # 128 frames: the timed loop carries two genuine tunnel syncs (the
+        # warmed sync_ms probe's value varies 30 ms - 1 s between windows,
+        # PERF.md round 3); more frames dilute that fixed cost so A/B deltas
+        # of ~1 ms/frame stay resolvable even in degraded fetch windows
+        mcfg, (h, w), n_frames, window = mast3r.MASt3RConfig(), (288, 512), 128, WINDOW
     if os.environ.get("FRODO_BENCH_FRAMES"):
         n_frames = max(4, int(os.environ["FRODO_BENCH_FRAMES"]))
 

@@ -400,7 +400,11 @@ def split_match_cfg(match_cfg) -> tuple:
     warm_it = cold.pop("max_iter_warm", None)
     warm = dict(cold)
     if warm_d:
-        warm["dilation_max"] = int(warm_d)
+        # -1: NO refine window on warm frames — the descriptor probe at the
+        # LM-projected pixel alone gates validity (match() dilation_max==0
+        # path); the probe rides the occlusion-check row gather, so the
+        # whole refine stage costs one einsum. Positive: reduced pyramid.
+        warm["dilation_max"] = max(0, int(warm_d))
     if warm_it:
         warm["max_iter"] = int(warm_it)
     return cold, warm
@@ -462,6 +466,12 @@ def match(
     Returns idx_1_to_2 (b, h*w) int32 and valid (b, h*w, 1) bool.
     """
     b, h, w = X21.shape[:3]
+    if refine_impl in ("auto", "pallas", "pallas_tile") and (w % 128 or h % 8):
+        # Mosaic tiling wants lane extents in 128-multiples and sublane
+        # extents in 8-multiples; small/odd images (tiny harnesses) fall
+        # back to the XLA shift formulation (same semantics, measured equal
+        # match quality). Production 288x512 always takes the kernel.
+        refine_impl = "shift"
 
     rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
         X11, X21, idx_1_to_2_init
@@ -483,7 +493,7 @@ def match(
     X11_flat = X11.reshape(b, h * w, 3)
     lin = pixel_to_lin(p1, w)[..., None]
     center_desc = None
-    if radius > 0 and refine_impl != "gather":
+    if radius > 0 and (refine_impl != "gather" or dilation_max == 0):
         packed = jnp.concatenate([X11_flat, D11.reshape(b, h * w, -1)], axis=-1)
         rows = jnp.take_along_axis(packed, lin, axis=1)
         matched, center_desc = rows[..., :3], rows[..., 3:]
@@ -492,7 +502,19 @@ def match(
     dists2 = jnp.linalg.norm(matched - X21.reshape(b, h * w, 3), axis=-1)
     valid_proj2 = valid_proj2 & (dists2 < dist_thresh)
 
-    if radius > 0:
+    if radius > 0 and dilation_max == 0:
+        # score-only refine (warm-frame fast path, dilation_max_warm: -1):
+        # the descriptor probe at the projected pixel — the (0,0) seed of
+        # every refine variant — gates validity; no window search. The rows
+        # were already gathered above, so this costs one einsum.
+        scores = jnp.einsum(
+            "bnf,bnf->bn",
+            center_desc.astype(jnp.bfloat16),
+            D21.reshape(b, h * w, -1).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        valid_proj2 = valid_proj2 & (scores > ft_matching_threshold)
+    elif radius > 0:
         kw = {} if refine_impl == "gather" else {"center_desc": center_desc}
         p1, scores = _refine_dispatch(refine_impl)(
             D11, D21.reshape(b, h * w, -1), p1, radius=radius,

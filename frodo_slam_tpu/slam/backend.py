@@ -466,21 +466,30 @@ class BackendGraph:
         rows = 2 * ebucket
         edges_sl = jax.tree.map(lambda a: a[:rows], self.edges)
 
-        # edge indices -> window positions (padded rows point at 0 but are inactive)
-        e_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(edges_sl.ii)]
-        e_jj = [kf_to_win.get(int(v), 0) for v in np.asarray(edges_sl.jj)]
+        # edge indices -> window positions (padded rows point at 0 but are
+        # inactive). Derived from the HOST mirrors, never fetched back from
+        # the device: every row was written from host ints (_insert_pair /
+        # compaction keeps live rows in front, in _pairs order), and a
+        # device->host fetch costs ~37 ms per sync through the remote-TPU
+        # tunnel — 4 of them per solve dominated the window build.
+        e_ii = [0] * rows
+        e_jj = [0] * rows
+        for k, (pi, pj) in enumerate(self._pairs):
+            e_ii[2 * k], e_jj[2 * k] = kf_to_win.get(pi, 0), kf_to_win.get(pj, 0)
+            e_ii[2 * k + 1], e_jj[2 * k + 1] = e_jj[2 * k], e_ii[2 * k]
         edges_win = edges_sl._replace(
             ii=jnp.asarray(e_ii, jnp.int32), jj=jnp.asarray(e_jj, jnp.int32)
         )
-        o_ii = [kf_to_win.get(int(v), 0) for v in np.asarray(self.odom.ii)]
-        o_jj = [kf_to_win.get(int(v), 0) for v in np.asarray(self.odom.jj)]
-        # odometry rows whose endpoints fell out of the window are disabled
-        o_act = [
-            bool(a) and int(i) in kf_to_win and int(j) in kf_to_win
-            for a, i, j in zip(
-                np.asarray(self.odom.active), np.asarray(self.odom.ii), np.asarray(self.odom.jj)
-            )
-        ]
+        cap_o = int(self.odom.ii.shape[0])
+        o_ii = [0] * cap_o
+        o_jj = [0] * cap_o
+        # odometry rows whose endpoints fell out of the window are disabled;
+        # slots beyond the written mirror (len(_odom_pairs)) were never active
+        o_act = [False] * cap_o
+        for s, (oi, oj) in enumerate(self._odom_pairs):
+            o_ii[s] = kf_to_win.get(int(oi), 0)
+            o_jj[s] = kf_to_win.get(int(oj), 0)
+            o_act[s] = int(oi) in kf_to_win and int(oj) in kf_to_win
         odom_win = self.odom._replace(
             ii=jnp.asarray(o_ii, jnp.int32),
             jj=jnp.asarray(o_jj, jnp.int32),

@@ -405,6 +405,79 @@ def test_eviction_protects_loop_closures_and_ba_converges():
         )
 
 
+def test_build_window_host_mirror_matches_device_rows():
+    """_build_window derives the window-mapped edge/odom endpoint indices
+    from the HOST mirrors (no device->host fetch per solve, ~37 ms each
+    through the remote tunnel); they must agree with the values actually
+    written into the device arrays, including after eviction and dead-edge
+    removal."""
+    import dataclasses
+
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam import frame as frame_mod
+    from frodo_slam_tpu.slam.backend import BackendGraph
+    from frodo_slam_tpu.slam.global_opt import empty_edges as _ee
+
+    n_kf, h, w = 10, 8, 16
+    hw = h * w
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    cfg = BAConfig(max_iters=1, pin=1)
+    g = BackendGraph(params, mcfg, cfg, (), (h, w), max_edges=16, max_odom=4)
+    g.edges = _ee(2 * 16, hw, with_cache=False)
+    g.max_edges = 6  # force eviction
+
+    def payload():
+        return (
+            jnp.arange(hw, dtype=jnp.int32), jnp.arange(hw, dtype=jnp.int32),
+            jnp.ones((hw,), bool), jnp.ones((hw,), bool),
+            jnp.full((hw,), 4.0), jnp.full((hw,), 4.0),
+        )
+
+    g._insert_pair(1, 7, *payload())
+    for i in range(n_kf - 1):
+        g._insert_pair(i, i + 1, *payload())
+    # odom ring wrap: 5 inserts into 4 slots
+    for k in range(5):
+        g.add_odometry_factors(k, k + 1, np.asarray([0, 0, 0, 0, 0, 0, 1.0]))
+
+    store = frame_mod.make_keyframe_store(16, hw, n_tok=2, enc_dim=4)
+    store = dataclasses.replace(
+        store, n_size=jnp.int32(n_kf), n_total=jnp.int32(n_kf),
+        C=store.C.at[:n_kf].set(5.0), N=store.N.at[:n_kf].set(1),
+    )
+    win = g._build_window(store, None)
+    assert win is not None
+    uniq, p, _, _, _, edges_win, odom_win, _ = win
+    kf_to_win = {k: n for n, k in enumerate(uniq)}
+
+    # device truth: the logical kf ids written at insertion time
+    dev_ii = np.asarray(g.edges.ii)
+    dev_jj = np.asarray(g.edges.jj)
+    n_rows = 2 * len(g._pairs)
+    got_ii = np.asarray(edges_win.ii)
+    got_jj = np.asarray(edges_win.jj)
+    for r in range(n_rows):
+        assert got_ii[r] == kf_to_win[int(dev_ii[r])], (r, g._pairs)
+        assert got_jj[r] == kf_to_win[int(dev_jj[r])], (r, g._pairs)
+    # rows beyond the live pairs are inactive on-device; the mirror maps them to 0
+    act = np.asarray(g.edges.active)
+    assert not act[n_rows: got_ii.shape[0]].any()
+    assert (got_ii[n_rows:] == 0).all() and (got_jj[n_rows:] == 0).all()
+
+    # odom: slot contents after the ring wrap, mapped through the window
+    dev_oii = np.asarray(g.odom.ii)
+    dev_ojj = np.asarray(g.odom.jj)
+    got_oii = np.asarray(odom_win.ii)
+    got_ojj = np.asarray(odom_win.jj)
+    got_oact = np.asarray(odom_win.active)
+    for s, (oi, oj) in enumerate(g._odom_pairs):
+        assert (oi, oj) == (int(dev_oii[s]), int(dev_ojj[s]))
+        assert got_oii[s] == kf_to_win.get(oi, 0)
+        assert got_ojj[s] == kf_to_win.get(oj, 0)
+        assert got_oact[s] == (oi in kf_to_win and oj in kf_to_win)
+
+
 def test_add_consecutive_half_matches_add_factors():
     """The consecutive-edge half-reuse path (BackendGraph.add_consecutive_half,
     fed by TrackResult.pair_half) must write the SAME two directed edge rows

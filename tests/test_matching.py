@@ -356,6 +356,50 @@ def test_match_warm_start_small_reach_equivalent():
     assert vw.mean() >= vc.mean() - 0.02
 
 
+def test_split_match_cfg_warm_score_only():
+    """dilation_max_warm: -1 -> warm frames run the score-only refine
+    (dilation_max=0: no window search, the center descriptor probe alone
+    gates validity)."""
+    cold, warm = matching.split_match_cfg(
+        {"dilation_max": 5, "dilation_max_warm": -1, "radius": 3}
+    )
+    assert cold == {"dilation_max": 5, "radius": 3}
+    assert warm == {"dilation_max": 0, "radius": 3}
+
+
+def test_match_warm_start_score_only_equivalent():
+    """With a converged warm start, the score-only matcher (dilation_max=0)
+    keeps the cold pyramid's correspondences: the LM projector lands on the
+    right pixel and the refine stage only confirms it. Basis for the
+    dilation_max_warm: -1 fast path."""
+    rng = np.random.default_rng(11)
+    h, w = 16, 32
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    x = (uu - w / 2) / 8.0
+    y = (vv - h / 2) / 8.0
+    z = 5.0 + 0.3 * np.sin(uu * 0.2) + 0.2 * np.cos(vv * 0.3)
+    X11 = np.stack([x, y, z], -1)[None]
+    shift = 2
+    X21 = np.roll(X11, -shift, axis=2)
+    D11 = rng.normal(size=(1, h, w, 24)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    D21 = np.roll(D11, -shift, axis=2)
+
+    idx_true = (vv.astype(np.int64) * w + np.minimum(uu + shift, w - 1)).reshape(1, -1)
+    args = (jnp.asarray(X11, jnp.float32), jnp.asarray(X21, jnp.float32),
+            jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(idx_true, jnp.int32))
+    kw = dict(max_iter=6, radius=3, ft_matching_threshold=0.8, refine_impl="shift")
+    idx_cold, valid_cold = matching.match(*args, dilation_max=5, **kw)
+    idx_s, valid_s = matching.match(*args, dilation_max=0, **kw)
+    vc = np.asarray(valid_cold[..., 0])
+    vs = np.asarray(valid_s[..., 0])
+    both = vc & vs
+    assert both.mean() > 0.7
+    np.testing.assert_array_equal(np.asarray(idx_cold)[both], np.asarray(idx_s)[both])
+    # score-only never widens validity beyond the cold result's centers
+    assert vs.mean() >= vc.mean() - 0.02
+
+
 def test_invert_match_roundtrip():
     """backend._invert_match: a valid near-bijective match inverts exactly;
     unmatched target pixels seed at identity."""
