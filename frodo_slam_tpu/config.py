@@ -76,7 +76,7 @@ def default_config() -> Dict[str, Any]:
                 "dist_thresh": 1e-1,
                 "radius": 3,
                 "dilation_max": 5,
-                "dilation_max_warm": 2,
+                "dilation_max_warm": -1,
                 "max_iter_warm": 4,
                 "seed_consecutive": True,
                 "ft_matching_threshold": 0.8,
