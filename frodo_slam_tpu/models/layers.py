@@ -138,14 +138,21 @@ def _sdpa(q, k, v, impl: str = "xla"):
     """
     b, h, n, hd = q.shape
     if impl == "pallas":
+        blk = min(512, n)
+        while n % blk:
+            blk //= 2
+        if blk % 128:
+            # Mosaic requires block_k to be a multiple of 128; n=576 (the
+            # 288x512 token grid) has no such divisor, so the kernel cannot
+            # tile it — fall back to the XLA fused attention rather than
+            # crash (same contract as the pallas refine shape guard).
+            impl = "xla"
+    if impl == "pallas":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
             flash_attention,
         )
 
-        blk = min(512, n)
-        while n % blk:
-            blk //= 2
         bs = BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,

@@ -53,8 +53,11 @@ def child(x64: bool) -> None:
     odom0 = empty_odom_edges(1)
     s_bar = jnp.full((WINDOW,), -1.0, jnp.float32)
 
+    # big arrays must be jit ARGUMENTS: closure constants are embedded in
+    # the lowered HLO and the remote-compile service rejects the request
+    # (HTTP 413) at this window size
     @jax.jit
-    def perturb(key):
+    def perturb(T_true, key):
         noise = (
             jax.random.normal(key, (WINDOW, 7), jnp.float32)
             * jnp.asarray([0.05] * 3 + [0.02] * 3 + [0.01], jnp.float32)
@@ -62,18 +65,18 @@ def child(x64: bool) -> None:
         return jax.vmap(lie.sim3_retr)(T_true, noise).astype(jnp.float32)
 
     @jax.jit
-    def solve(T_init):
+    def solve(T_init, X_win, C_win, edges):
         return solve_gn_rays(ba_cfg, 1, T_init, X_win, C_win, edges, odom0, s_bar)
 
     import numpy as np
 
     key = jax.random.PRNGKey(0)
-    T = solve(perturb(key))  # warm both programs
+    T = solve(perturb(T_true, key), X_win, C_win, edges)  # warm both programs
     np.asarray(T[0, :1])
 
     t0 = time.perf_counter()
     for i in range(REPS):
-        T = solve(perturb(jax.random.fold_in(key, i)))
+        T = solve(perturb(T_true, jax.random.fold_in(key, i)), X_win, C_win, edges)
     np.asarray(T[0, :1])  # one tiny sync at the end
     dt = (time.perf_counter() - t0) / REPS
     print(json.dumps({

@@ -274,3 +274,19 @@ def test_npz_roundtrip(jax_params, tmp_path):
     loaded = convert.load_npz(path, CFG)
     for a, b in zip(jax.tree.leaves(jax_params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sdpa_pallas_guard_falls_back_on_untileable_n():
+    """n=576 (the 288x512 token grid) has no divisor that is a multiple of
+    128, so the Mosaic flash-attention kernel cannot tile it; _sdpa must
+    fall back to the XLA path instead of crashing (the round-3 attn_pallas
+    sweep run died with 'block_k=64 should be a multiple of 128')."""
+    from frodo_slam_tpu.models.layers import _sdpa
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (1, 4, 576, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 4, 576, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 4, 576, 64), jnp.float32)
+    out_pallas = _sdpa(q, k, v, impl="pallas")  # falls back (guard)
+    out_xla = _sdpa(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_xla), rtol=1e-6)
