@@ -20,7 +20,10 @@ Known reference divergence (deliberate): the reference never inserts the
 FIRST keyframe into the retrieval database (only keyframes that get backend
 tasks are inserted, vio.py:124-129), so its retrieval database ids are offset
 from keyframe indices by one map-initialization each. We insert the init
-keyframe too, keeping database id == keyframe index.
+keyframe too, and every insertion carries its keyframe index explicitly
+(``RetrievalDatabase.kf_ids``) — retrieval results are true keyframe
+indices even when a preempting relocalization or a backlogged backend
+queue makes insertion order diverge from keyframe order.
 """
 
 from __future__ import annotations
@@ -180,11 +183,17 @@ class SLAM:
         self._backend_lock = threading.Lock()
         # Backend tasks QUEUE and the frontend never blocks on a solve — the
         # reference contract (tasks pile into a manager list, vio.py:109-115,
-        # frame.py:325-327). One worker thread drains the queue serially;
-        # under sustained overload the oldest pending task is dropped
-        # (bounded memory; the newest keyframes matter most).
+        # frame.py:325-327). One worker thread drains the queue serially.
+        # Tasks are NEVER dropped (the reference list is unbounded): every
+        # keyframe's consecutive edge, odometry factor, and retrieval-db
+        # insertion must land, or later loop closures reference a map with
+        # holes. ``backend_queue_max`` is a backlog WARNING threshold only.
         self._backend_tasks: queue.Queue = queue.Queue()
         self._backend_queue_max = int(cfg.tpu.get("backend_queue_max", 8))
+        # held by the worker around each task: lets reloc/reset wait out the
+        # IN-FLIGHT task only, preempting the pending backlog (the reference
+        # backend checks RELOC mode before popping tasks, vio.py:102-107)
+        self._backend_exec_lock = threading.Lock()
         self._half_reuse = bool(cfg.tpu.get("consecutive_half_reuse", False))
         self._backend_worker: Optional[threading.Thread] = None
         self._map_epoch = 0  # bumped on reset(); stale backend merges are dropped
@@ -264,7 +273,8 @@ class SLAM:
             try:
                 if task is None:
                     return
-                self._backend_step(*task)
+                with self._backend_exec_lock:
+                    self._backend_step(*task)
             except Exception:
                 log.exception("backend task kf=%s failed", task[0])
             finally:
@@ -319,10 +329,10 @@ class SLAM:
         self.store = frame_mod.kf_append(self.store, frame)
         self.kf_timestamps.append(timestamp)
         if self.retrieval is not None:
-            # keep database id == keyframe index (see module docstring)
             self.retrieval.update(frame.feat, add_after_query=True,
                                   k=int(self.cfg.retrieval.k),
-                                  min_thresh=float(self.cfg.retrieval.min_thresh))
+                                  min_thresh=float(self.cfg.retrieval.min_thresh),
+                                  kf_id=len(self.kf_timestamps) - 1)
         self.mode = Mode.TRACKING
         self.current_T_WC = np.asarray(frame.T_WC)
 
@@ -505,7 +515,7 @@ class SLAM:
             feat = store.feat[slot][None]
             retrieved = self.retrieval.update(
                 feat, add_after_query=True, k=int(self.cfg.retrieval.k),
-                min_thresh=float(self.cfg.retrieval.min_thresh),
+                min_thresh=float(self.cfg.retrieval.min_thresh), kf_id=idx,
             )
             kf_idx += retrieved
         kf_set = set(kf_idx)
@@ -555,17 +565,14 @@ class SLAM:
             self._backend_step(idx, odom_factor, pair_half)
             return
         # never block the frontend: enqueue and return (vio.py:333-343).
-        # Bounded queue: drop the oldest pending task under overload.
-        while self._backend_tasks.qsize() >= self._backend_queue_max:
-            try:
-                dropped = self._backend_tasks.get_nowait()
-            except queue.Empty:
-                break
-            self._backend_tasks.task_done()
-            if dropped is not None:
-                log.warning("backend queue full (max=%d): dropped oldest "
-                            "pending task kf=%s",
-                            self._backend_queue_max, dropped[0])
+        # No drops: a dropped task would punch a hole in the map (its
+        # consecutive edge, odometry factor, and retrieval-db entry are all
+        # load-bearing for later loop closures). Backlog is transient — one
+        # solve (~45 ms) per keyframe (~0.5 s cadence) — so warn, don't cull.
+        if self._backend_tasks.qsize() >= self._backend_queue_max:
+            log.warning("backend backlog: %d tasks pending (solves slower "
+                        "than the keyframe cadence)",
+                        self._backend_tasks.qsize())
         if self._backend_worker is None or not self._backend_worker.is_alive():
             self._backend_worker = threading.Thread(
                 target=self._backend_worker_loop, daemon=True,
@@ -578,10 +585,16 @@ class SLAM:
 
     def _relocalize(self, frame: frame_mod.Frame, timestamp: float) -> bool:
         """Retrieval-seeded relocalization (vio.py:29-72)."""
-        # runs on the frontend thread and mutates backend/retrieval state:
-        # wait out any in-flight backend task first
-        self._join_backend()
-        with self._backend_lock:
+        # Runs on the frontend thread and mutates backend/retrieval state:
+        # PREEMPT the pending backlog — hold the worker's per-task lock, so
+        # only the in-flight task is waited out, never the whole queue (the
+        # reference backend services RELOC before popping optimizer tasks,
+        # vio.py:102-107; under backlog, draining first would stall the
+        # frontend for many solves exactly when tracking is already lost).
+        # Pending tasks stay valid: reloc appends a keyframe, resets nothing,
+        # and retrieval ids are explicit (database.kf_ids), so the
+        # out-of-order insertion cannot skew later retrievals.
+        with self._backend_exec_lock, self._backend_lock:
             retrieved = self.retrieval.update(
                 frame.feat, add_after_query=False, k=int(self.cfg.retrieval.k),
                 min_thresh=float(self.cfg.retrieval.min_thresh),
@@ -606,7 +619,8 @@ class SLAM:
                 return False
             self.retrieval.update(frame.feat, add_after_query=True,
                                   k=int(self.cfg.retrieval.k),
-                                  min_thresh=float(self.cfg.retrieval.min_thresh))
+                                  min_thresh=float(self.cfg.retrieval.min_thresh),
+                                  kf_id=n_kf - 1)
             # seed pose from the first retrieved keyframe (vio.py:66)
             seed_slot = int(retrieved[0]) % self.store.capacity
             self.store = frame_mod.kf_update_T_WCs(

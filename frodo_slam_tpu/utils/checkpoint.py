@@ -39,6 +39,11 @@ def save_slam_state(slam, path: str) -> str:
     arrays.update(_flatten_with_names(slam.backend.edges, "edges/"))
     arrays.update(_flatten_with_names(slam.backend.odom, "odom/"))
     arrays.update(_flatten_with_names(slam.pgo, "pgo/"))
+    if slam.retrieval is not None:
+        # loop-closure retrieval is map state too: without it, a resumed run
+        # can never close loops against pre-checkpoint keyframes
+        for k, v in slam.retrieval.state_arrays().items():
+            arrays["rdb/" + k] = v
     np.savez_compressed(str(path), **arrays)
 
     meta = {
@@ -89,6 +94,10 @@ def load_slam_state(slam, path: str) -> None:
     slam.backend._odom_pairs = [tuple(p) for p in meta["backend_odom_pairs"]]
     slam.backend._n_odom = meta["backend_n_odom"]
     slam._idx_f2k = None
+    if slam.retrieval is not None and "rdb/kf_counter" in data:
+        slam.retrieval.load_state_arrays(
+            {k[len("rdb/"):]: data[k] for k in data.files if k.startswith("rdb/")}
+        )
 
     # rebuild the streaming active-KF state from the last stored keyframe
     import dataclasses

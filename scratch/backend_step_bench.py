@@ -76,7 +76,7 @@ def bench(name, fn, *args, n=5):
 
 ms = bench("match_symmetric (pair)", lambda: match_symmetric(
     params, mcfg, match_cfg_d, feat_i, pos, feat_j, pos, (h, w)))
-(idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = ms
+(idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij) = ms
 
 gp = bench("gate_pairs", lambda: _gate_pairs(
     idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, jnp.float32(0.0)))

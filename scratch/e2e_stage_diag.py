@@ -136,8 +136,7 @@ def run(use_half):
     # warm ingest/write/solve too (the first diag run paid 2.5 + 6.0 s of
     # uncached ingest/write on its first keyframe); use a COPY of edges0 —
     # _write_pair_rows donates its edge buffers
-    (idx_i2j_w, idx_j2i_w, vm_j_w, vm_i_w, Qii_w, Qjj_w, Qji_w, Qij_w,
-     X4_w, Cii_w, Cjj_w) = out
+    (idx_i2j_w, idx_j2i_w, vm_j_w, vm_i_w, Qii_w, Qjj_w, Qji_w, Qij_w) = out
     n_one = jnp.ones((1,), jnp.int32)
     ing = _ingest_pairs(
         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
@@ -184,7 +183,7 @@ def run(use_half):
             else:
                 out = stage("match_symmetric", lambda: match_symmetric(
                     params, mcfg, match_cfg_d, feat_i, pos_i, feat_j, pos_j, (h, w)))
-                (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij, X4, Cii, Cjj) = out
+                (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij) = out
             n_one = jnp.ones((1,), jnp.int32)
             ing = stage("ingest", lambda: _ingest_pairs(
                 jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),

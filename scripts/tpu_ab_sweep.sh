@@ -20,7 +20,8 @@ run() {
   # config must stay diagnosable after later runs (round 3: attn_pallas
   # died silently and the next run overwrote its traceback)
   timeout 3600 env "$@" python bench.py 2>"/tmp/ab_stderr.$name.log" | tail -1 | tee -a "$OUT"
-  echo "rc=$? $(date -u +%H:%M:%S)" | tee -a "$OUT"
+  # $? is tee's (always 0): record bench.py's own status (124 = timeout)
+  echo "rc=${PIPESTATUS[0]} $(date -u +%H:%M:%S)" | tee -a "$OUT"
 }
 
 # Ordered by expected value: a usable tunnel window may not outlast the

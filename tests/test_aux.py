@@ -267,6 +267,10 @@ def test_slam_checkpoint_roundtrip(tmp_path):
     from frodo_slam_tpu.slam.system import SLAM
     from frodo_slam_tpu.utils.checkpoint import load_slam_state, save_slam_state
 
+    from frodo_slam_tpu.retrieval.asmk import Codebook
+    from frodo_slam_tpu.retrieval.database import RetrievalDatabase
+    from frodo_slam_tpu.retrieval.model import RetrievalHead
+
     mcfg = mast3r.tiny_config()
     params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
     params["head2"] = params["head1"]
@@ -277,7 +281,11 @@ def test_slam_checkpoint_roundtrip(tmp_path):
                       tpu={"max_keyframes": 8, "max_edges": 8, "max_odom_edges": 8})
 
     def build():
-        return SLAM(cfg, params, mcfg, (32, 64), retrieval_db=None, use_backend=True,
+        head = RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=mcfg.enc_embed_dim,
+                                  hdims=[mcfg.enc_embed_dim], nfeat=8)
+        db = RetrievalDatabase(head, Codebook.random(np.random.default_rng(0), 64,
+                                                     mcfg.enc_embed_dim))
+        return SLAM(cfg, params, mcfg, (32, 64), retrieval_db=db, use_backend=True,
                     use_reloc=False, single_thread=True)
 
     slam = build()
@@ -291,6 +299,10 @@ def test_slam_checkpoint_roundtrip(tmp_path):
     assert int(slam2.store.n_size) == int(slam.store.n_size)
     np.testing.assert_array_equal(np.asarray(slam2.store.T_WC), np.asarray(slam.store.T_WC))
     assert slam2.backend._pairs == slam.backend._pairs
+    # loop-closure retrieval is map state: the restored db must cover the
+    # pre-checkpoint keyframes
+    assert slam2.retrieval.kf_ids == slam.retrieval.kf_ids
+    assert slam2.retrieval.kf_counter == slam.retrieval.kf_counter
     # resumed instance keeps tracking
     ok, pose, new_kf = slam2.grab_rgb(img, timestamp=3.0)
     assert ok and np.all(np.isfinite(pose))

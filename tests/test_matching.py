@@ -323,28 +323,32 @@ def test_split_match_cfg_warm_reach():
         assert cold == warm == {"dilation_max": 5}
 
 
-def test_match_warm_start_small_reach_equivalent():
-    """With a converged warm start (the tracking steady state), the
-    warm-reach matcher (dilation_max=2) finds the same correspondences as
-    the full cold pyramid (dilation_max=5) — the basis for the
-    matching.dilation_max_warm default."""
-    rng = np.random.default_rng(11)
-    h, w = 16, 32
+def _shifted_match_world(h=16, w=32, shift=2, seed=11):
+    """Smooth rolled surface with unique unit descriptors + the ground-truth
+    warm start (last frame's converged matches): matcher args for the
+    warm-schedule equivalence tests (__graft_entry__._oracle_match_world is
+    the batched/interior-masked variant of the same construction)."""
+    rng = np.random.default_rng(seed)
     uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
     x = (uu - w / 2) / 8.0
     y = (vv - h / 2) / 8.0
     z = 5.0 + 0.3 * np.sin(uu * 0.2) + 0.2 * np.cos(vv * 0.3)
     X11 = np.stack([x, y, z], -1)[None]
-    shift = 2
     X21 = np.roll(X11, -shift, axis=2)
     D11 = rng.normal(size=(1, h, w, 24)).astype(np.float32)
     D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
     D21 = np.roll(D11, -shift, axis=2)
-
-    # warm start: the true correspondence (last frame's converged matches)
     idx_true = (vv.astype(np.int64) * w + np.minimum(uu + shift, w - 1)).reshape(1, -1)
-    args = (jnp.asarray(X11, jnp.float32), jnp.asarray(X21, jnp.float32),
+    return (jnp.asarray(X11, jnp.float32), jnp.asarray(X21, jnp.float32),
             jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(idx_true, jnp.int32))
+
+
+def test_match_warm_start_small_reach_equivalent():
+    """With a converged warm start (the tracking steady state), the
+    warm-reach matcher (dilation_max=2) finds the same correspondences as
+    the full cold pyramid (dilation_max=5) — the basis for the
+    matching.dilation_max_warm default."""
+    args = _shifted_match_world()
     kw = dict(max_iter=6, radius=3, ft_matching_threshold=0.8, refine_impl="shift")
     idx_cold, valid_cold = matching.match(*args, dilation_max=5, **kw)
     idx_warm, valid_warm = matching.match(*args, dilation_max=2, **kw)
@@ -372,22 +376,7 @@ def test_match_warm_start_score_only_equivalent():
     keeps the cold pyramid's correspondences: the LM projector lands on the
     right pixel and the refine stage only confirms it. Basis for the
     dilation_max_warm: -1 fast path."""
-    rng = np.random.default_rng(11)
-    h, w = 16, 32
-    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
-    x = (uu - w / 2) / 8.0
-    y = (vv - h / 2) / 8.0
-    z = 5.0 + 0.3 * np.sin(uu * 0.2) + 0.2 * np.cos(vv * 0.3)
-    X11 = np.stack([x, y, z], -1)[None]
-    shift = 2
-    X21 = np.roll(X11, -shift, axis=2)
-    D11 = rng.normal(size=(1, h, w, 24)).astype(np.float32)
-    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
-    D21 = np.roll(D11, -shift, axis=2)
-
-    idx_true = (vv.astype(np.int64) * w + np.minimum(uu + shift, w - 1)).reshape(1, -1)
-    args = (jnp.asarray(X11, jnp.float32), jnp.asarray(X21, jnp.float32),
-            jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(idx_true, jnp.int32))
+    args = _shifted_match_world()
     kw = dict(max_iter=6, radius=3, ft_matching_threshold=0.8, refine_impl="shift")
     idx_cold, valid_cold = matching.match(*args, dilation_max=5, **kw)
     idx_s, valid_s = matching.match(*args, dilation_max=0, **kw)

@@ -86,6 +86,62 @@ def test_database_revisit_ranks_first():
     assert got and got[0] == 1, got
 
 
+def _place_db(dim=32, n_places=4):
+    rng = np.random.default_rng(2)
+    head = RetrievalHead.init(jax.random.PRNGKey(0), backbone_dim=dim, hdims=[dim], nfeat=16)
+    cb = Codebook(rng.normal(size=(64, dim)).astype(np.float32) * 3)
+    db = RetrievalDatabase(head, cb)
+
+    def fake_feat(seed, noise=0.0):
+        r = np.random.default_rng(seed)
+        f = r.normal(size=(1, 24, dim)).astype(np.float32)
+        if noise:
+            f += np.random.default_rng(99).normal(size=f.shape).astype(np.float32) * noise
+        return jnp.asarray(f)
+
+    return db, fake_feat
+
+
+def test_database_explicit_kf_ids():
+    """Insertions carry explicit keyframe ids: results map through kf_ids,
+    so an out-of-keyframe-order insertion (a preempting relocalization, a
+    backlogged backend queue) still retrieves TRUE keyframe indices."""
+    db, fake_feat = _place_db()
+    # keyframes inserted out of order: 0, then 7 (reloc jumped the queue),
+    # then the backlogged 1..2
+    for kf in (0, 7, 1, 2):
+        db.update(fake_feat(kf), add_after_query=True, k=3, min_thresh=5e-3,
+                  kf_id=kf)
+    got = db.update(fake_feat(7, noise=0.01), add_after_query=False, k=1,
+                    min_thresh=0.0)
+    assert got == [7], got
+    got = db.update(fake_feat(1, noise=0.01), add_after_query=False, k=1,
+                    min_thresh=0.0)
+    assert got == [1], got
+
+
+def test_database_state_roundtrip():
+    """state_arrays/load_state_arrays (checkpoint/resume): a restored
+    database returns identical results and keeps accepting insertions."""
+    db, fake_feat = _place_db()
+    for kf in range(4):
+        db.update(fake_feat(kf), add_after_query=True, k=3, min_thresh=5e-3,
+                  kf_id=kf)
+    state = {k: np.asarray(v) for k, v in db.state_arrays().items()}
+
+    db2, _ = _place_db()
+    db2.load_state_arrays(state)
+    assert db2.kf_counter == db.kf_counter and db2.kf_ids == db.kf_ids
+    q = fake_feat(1, noise=0.01)
+    assert (db2.update(q, add_after_query=False, k=1, min_thresh=0.0)
+            == db.update(q, add_after_query=False, k=1, min_thresh=0.0) == [1])
+    # the restored db keeps growing
+    db2.update(fake_feat(9), add_after_query=True, k=3, min_thresh=5e-3, kf_id=9)
+    got = db2.update(fake_feat(9, noise=0.01), add_after_query=False, k=1,
+                     min_thresh=0.0)
+    assert got == [9], got
+
+
 def test_ivf_norm_factor():
     ivf = InvertedFile(8, 32)
     des = binarize_and_pack(np.random.default_rng(3).normal(size=(3, 32)).astype(np.float32))

@@ -293,9 +293,12 @@ def test_slam_backend_tasks_queue_without_blocking_frontend(tiny_model):
     assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
 
 
-def test_slam_backend_queue_overload_drops_oldest(tiny_model):
-    """Bounded pending queue: sustained overload drops the OLDEST pending
-    task instead of growing without bound or blocking."""
+def test_slam_backend_queue_never_drops_under_overload(tiny_model):
+    """Sustained overload must NOT drop tasks (reference: an unbounded
+    manager list, vio.py:109-115): every keyframe's task carries its
+    consecutive edge, odometry factor, and retrieval-db insertion — a
+    dropped task punches a hole in the map that corrupts later loop
+    closures. ``backend_queue_max`` is a backlog-warning threshold only."""
     import time as _time
 
     params, mcfg = tiny_model
@@ -328,13 +331,70 @@ def test_slam_backend_queue_overload_drops_oldest(tiny_model):
     for i in range(8):
         ok, _, new_kf = slam.grab_rgb(img, timestamp=1.0 + i)
         assert ok and new_kf
-        assert slam._backend_tasks.qsize() <= 2
     slam.terminate()
     assert slam._backend_tasks.unfinished_tasks == 0
-    # overload must have dropped some tasks but executed the in-flight ones
-    assert 1 <= len(started) < 8
-    # the newest task always survives a drop cycle
-    assert started[-1] == len(slam.kf_timestamps) - 1
+    # EVERY task ran, in keyframe order
+    assert started == list(range(1, len(slam.kf_timestamps)))
+
+
+def test_slam_reloc_preempts_pending_backend_tasks(tiny_model):
+    """Relocalization must wait out only the IN-FLIGHT backend task, never
+    the pending backlog (the reference backend services RELOC before popping
+    optimizer tasks, vio.py:102-107) — and the preempted tasks must still
+    all run afterwards. With explicit retrieval kf_ids, the out-of-order
+    insertion cannot skew later retrievals."""
+    import time as _time
+
+    params, mcfg = tiny_model
+    cfg = make_config(
+        tracking={"match_frac_thresh": 1.1, "min_match_frac": 0.0, "Q_conf": 0.0,
+                  "max_iters": 10},
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 2},
+        tpu={"max_keyframes": 16, "max_edges": 32, "max_odom_edges": 8},
+    )
+    head = RetrievalHead.init(jax.random.PRNGKey(1), backbone_dim=mcfg.enc_embed_dim,
+                              hdims=[mcfg.enc_embed_dim], nfeat=8)
+    db = RetrievalDatabase(head, Codebook.random(np.random.default_rng(0), 64,
+                                                 mcfg.enc_embed_dim))
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=db,
+                use_backend=True, use_reloc=True, single_thread=False)
+
+    real_solve = slam.backend.solve_window_rays
+
+    def slow_solve(store, s_bar=None):
+        _time.sleep(1.0)  # each task far outlasts the keyframe cadence
+        return real_solve(store, s_bar)
+
+    slam.backend.solve_window_rays = slow_solve
+
+    reloc_queue_stats = []
+
+    def spying_reloc(frame, timestamp, _real=slam._relocalize):
+        q_before = slam._backend_tasks.qsize()
+        out = _real(frame, timestamp)
+        reloc_queue_stats.append((q_before, slam._backend_tasks.qsize()))
+        return out
+
+    slam._relocalize = spying_reloc
+
+    img = _img(0)
+    slam.grab_rgb(img, timestamp=0.0)
+    for i in range(4):  # pile up pending tasks behind the slow solves
+        ok, _, new_kf = slam.grab_rgb(img, timestamp=1.0 + i)
+        assert ok and new_kf
+    assert slam._backend_tasks.qsize() >= 2  # a real backlog exists
+
+    # garbage frame: tracking fails -> reloc runs while tasks are pending
+    slam.grab_rgb(_img(99), timestamp=9.0)
+    (q_before, q_after), = reloc_queue_stats
+    assert q_before >= 1, "reloc ran with no backlog; test lost its premise"
+    assert q_after >= 1, (
+        "reloc drained the whole pending queue instead of preempting it"
+    )
+
+    slam.terminate()  # the preempted tasks still all run
+    assert slam._backend_tasks.unfinished_tasks == 0
+    assert np.all(np.isfinite(np.asarray(slam.store.T_WC[: int(slam.store.n_size)])))
 
 
 def test_slam_portrait_input(tiny_model):
