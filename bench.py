@@ -258,6 +258,16 @@ def main():
     def ba_solve(T_init, edges):
         return solve_gn_rays(ba_cfg, 1, T_init, X_win, C_win, edges, odom0, s_bar)
 
+    # A/B (FRODO_BENCH_HALF_COPY=1): decouple the half-reuse path from the
+    # tracker stream by copying pair_half into FRESH buffers at keyframe
+    # rate. Hypothesis for the measured 8.7-vs-17.1 async stall (PERF.md
+    # round 3): the backend chain consuming tracker-stream outputs holds
+    # those buffers in-use for its whole ~200 ms, blocking the per-frame
+    # stream's buffer reuse/donation; a ~1 ms copy releases the dependency
+    # as soon as the producer finishes.
+    copy_half = bool(os.environ.get("FRODO_BENCH_HALF_COPY"))
+    copy_prog = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
     def backend_step(edges, feat_i, pos_i, feat_j, pos_j, key, pair_half=None):
         """One keyframe's backend work (vio.py:109-157). Production
         consecutive-edge path (system._backend_step): the tracker's half of
@@ -267,6 +277,8 @@ def main():
         pay; the bench takes the consecutive path, like the real per-KF
         stream."""
         cold_cfg, warm_cfg = matching_ops.split_match_cfg(match_cfg_d)
+        if pair_half is not None and copy_half:
+            pair_half = copy_prog(pair_half)
         if pair_half is not None:
             idx_j2i, vm_i, Qjj, Qij = pair_half
             res11, res21 = decode_asymmetric(
