@@ -327,10 +327,17 @@ def main():
 
     # warm BOTH tracking program variants (idx_init=None vs array) and the
     # full backend step; without these the timed loop measures compiles
+    # flag fetches go through np.asarray(res.flags) — the ARRAY fetch path.
+    # float(res.match_frac) = flags[0] is an eager indexing dispatch + a
+    # SCALAR fetch, and the tunnel's scalar/tiny-RPC path degrades
+    # independently of the array path (2026-08-19: float() 125-612 s while
+    # any np.asarray fetch, even (1,), stayed ~30 ms —
+    # scratch/fetch_size_probe.py). The production loop already does this
+    # (system.grab_rgb: one flags fetch per frame).
     kf_w, fused, res = full_step(params, kf, frames[1], None)
-    _ = float(res.match_frac)
+    _ = np.asarray(res.flags)
     kf_w, fused, res = full_step(params, kf_w, frames[1], res.idx_f2k)
-    _ = float(res.match_frac)
+    _ = np.asarray(res.flags)
     # warm up on a COPY: _write_pair_rows donates its edge buffers, and the
     # timed loop below must start from intact edges0. Warm BOTH backend
     # variants (full symmetric for loop closures, half-reuse for the
@@ -354,7 +361,7 @@ def main():
     # recording it beside the FPS makes a pathological-window number
     # diagnosable instead of mysterious (scripts/tunnel_probe.py).
     t_sync = time.perf_counter()
-    _ = float(res.match_frac)
+    _ = np.asarray(res.flags)
     sync_ms = (time.perf_counter() - t_sync) * 1e3
 
     # ---- timed end-to-end loop ---------------------------------------------
@@ -378,7 +385,7 @@ def main():
             )
             prev_kf = kf
             idx_init = None
-    _ = float(last.match_frac)
+    _ = np.asarray(last.flags)
     T_new.block_until_ready()
     dt = time.perf_counter() - t0
     fps = (n_frames - 2) / dt

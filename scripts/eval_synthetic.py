@@ -346,6 +346,13 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None,
         # warm-started-frame LM iteration cap A/B (matching.max_iter_warm)
         matching_over["max_iter_warm"] = int(
             os.environ["FRODO_SYNTH_MAXITER_WARM"])
+    tpu_over = {}
+    if os.environ.get("FRODO_SYNTH_HALF") is not None:
+        # consecutive-edge half-reuse accuracy A/B (tpu.consecutive_half_reuse
+        # + the seeded warm-schedule missing-direction match): must be
+        # ATE-neutral before the knob can default on
+        tpu_over["consecutive_half_reuse"] = bool(
+            int(os.environ["FRODO_SYNTH_HALF"]))
     tracking_over = {"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30}
     if not per_frame:
         # keyframe every frame: the saved trajectory is keyframe poses, so
@@ -364,7 +371,7 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None,
         local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
         matching=matching_over,
         tpu={"max_keyframes": max(8, n_frames + 2), "max_edges": 32,
-             "max_odom_edges": 8},
+             "max_odom_edges": 8, **tpu_over},
     )
     slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
                 use_backend=True, use_reloc=False, single_thread=single_thread)

@@ -10,9 +10,11 @@
 set -u
 cd "$(dirname "$0")/.."
 PERIOD="${TUNNEL_WATCH_PERIOD:-600}"
+SWEEP="${TUNNEL_WATCH_SWEEP:-scripts/tpu_ab_sweep.sh}"
+SWEEP_OUT="${TUNNEL_WATCH_SWEEP_OUT:-/tmp/ab_sweep_results.txt}"
 STOP=/tmp/tunnel_watch.stop
 STATUS=/tmp/tunnel_status.jsonl
-SWEEP_DONE=/tmp/tunnel_watch.sweep_done
+SWEEP_DONE="${TUNNEL_WATCH_DONE:-/tmp/tunnel_watch.sweep_done}"
 
 while true; do
   [ -e "$STOP" ] && { echo "$(date -u +%FT%TZ) stop requested"; exit 0; }
@@ -27,8 +29,8 @@ while true; do
 try: r=json.load(sys.stdin); print(int(r.get('ok') and r.get('scalar_fetch_ms',9e9)<1000))
 except Exception: print(0)")
   if [ ! -e "$SWEEP_DONE" ] && [ "$usable" = "1" ]; then
-    echo "$(date -u +%FT%TZ) tunnel healthy -> running A/B sweep"
-    bash scripts/tpu_ab_sweep.sh /tmp/ab_sweep_results.txt
+    echo "$(date -u +%FT%TZ) tunnel healthy -> running A/B sweep $SWEEP"
+    bash "$SWEEP" "$SWEEP_OUT"
     touch "$SWEEP_DONE"
     echo "$(date -u +%FT%TZ) sweep complete"
   fi
