@@ -367,11 +367,13 @@ def _point_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, Xi, w0, Xj):
 # M^T (Jrel^T W Jrel) M = M^T B M and gj = M^T g_rel.
 
 
-def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
-    """Odometry SE(3)-log constraint (gn_kernels.cu:1106-1290).
+def _odom_residual(T_WC, edge_ii, edge_jj, delta_T):
+    """Odometry SE(3)-log residual (gn_kernels.cu:1144-1177).
 
-    Returns (H_full (14,14), g_full (14,)) ordered (pose_i, pose_j).
-    """
+    r = log_SE3(T_meas^-1 * T_pred) with T_pred the scale-corrected
+    relative pose: R_ij = Ri^T Rj, t' = (1/s_j) Ri^T (tj - ti) — the
+    reference divides by s_j: pose translations live in the map gauge,
+    s_j x metric."""
     Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
     delta_T = delta_T.astype(T_WC.dtype)
     Ri = lie.quat_to_R(lie.sim3_q(Ti))
@@ -379,19 +381,39 @@ def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
     Rm = lie.quat_to_R(delta_T[3:7])
     tm = delta_T[:3]
 
-    # predicted SE(3): R_ij = Ri^T Rj, t' = (1/s_j) Ri^T (tj - ti)
-    # (gn_kernels.cu:1144-1177; note the reference divides by s_j)
     Rij = Ri.T @ Rj
     sj = lie.sim3_s(Tj)[0]
     sj_inv = jnp.where(sj == 0.0, 1e6, 1.0 / sj)
     t_pred = sj_inv * (Ri.T @ (lie.sim3_t(Tj) - lie.sim3_t(Ti)))
 
-    # error transform T_err = T_meas^-1 * T_pred
     R_err = Rm.T @ Rij
     t_err = Rm.T @ t_pred - Rm.T @ tm
-
     q_err = lie.R_to_quat(R_err)
-    r = lie.se3_log(jnp.concatenate([t_err, q_err]))  # (6,) [rho, phi]
+    return lie.se3_log(jnp.concatenate([t_err, q_err]))  # (6,) [rho, phi]
+
+
+def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
+    """Odometry SE(3)-log constraint (gn_kernels.cu:1106-1290).
+
+    Returns (H_full (14,14), g_full (14,)) ordered (pose_i, pose_j).
+
+    The Jacobian is EXACT, by forward-mode autodiff of the residual under
+    the solver's left retraction (sim3_retr) — the reference's hand-derived
+    adjoint approximation (gn_kernels.cu:1193-1237) is only first-order
+    near identity and measured ~45% off in Frobenius norm at general poses
+    with non-unit scale, which made the combined ray+odom GN diverge once
+    the PGO scale write-back moved pose scales away from 1. Six output
+    rows x 14 tangent columns: jacfwd costs 14 JVPs of a scalar-sized
+    residual — noise next to the ray reduction."""
+    Ti, Tj = T_WC[edge_ii], T_WC[edge_jj]
+
+    def r_of(eps):
+        Tp = jnp.stack([lie.sim3_retr(Ti, eps[:7]), lie.sim3_retr(Tj, eps[7:])])
+        return _odom_residual(Tp, 0, 1, delta_T)
+
+    zero = jnp.zeros((14,), T_WC.dtype)
+    r = r_of(zero)
+    J = jax.jacfwd(r_of)(zero)  # (6, 14), exact at the linearization point
 
     info_t = 1.0 / (cfg.sigma_odom_t**2)
     info_r = 1.0 / (cfg.sigma_odom_r**2)
@@ -402,18 +424,6 @@ def _odom_edge_system(cfg: BAConfig, T_WC, edge_ii, edge_jj, delta_T):
         ]
     )  # (6,)
 
-    # Jacobian approx: J_j ~ Ad(T_j^-1) on [t, theta] + scale column
-    # (gn_kernels.cu:1193-1237)
-    tj_inv = -(Rj.T @ lie.sim3_t(Tj))
-    Jj = jnp.zeros((6, 7), dtype=T_WC.dtype)
-    Jj = Jj.at[0:3, 0:3].set(Rj.T)
-    Jj = Jj.at[0:3, 3:6].set(lie.skew(tj_inv) @ Rj.T)
-    Jj = Jj.at[3:6, 3:6].set(Rj.T)
-    Jj = Jj.at[0:3, 6].set(-(Rm.T @ t_pred))
-    Ji = -Jj
-    Ji = Ji.at[:, 6].set(0.0)  # d/ds_i = 0 (gn_kernels.cu:1233-1237)
-
-    J = jnp.concatenate([Ji, Jj], axis=-1)  # (6, 14)
     H = J.T @ (w[:, None] * J)
     g = J.T @ (w * r)
     return H, g

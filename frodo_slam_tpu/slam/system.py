@@ -55,6 +55,34 @@ from ..utils.log import get_logger
 log = get_logger("slam")
 
 
+@jax.jit
+def _apply_pgo_scale(T_WC, n_size, s, ok):
+    """Write the PGO's scale estimate into every live keyframe's Sim(3)
+    scale channel (the reference's post-optimize write-back,
+    tracker.py:347-353 + pgo.py:195-202 / :262-274 — its endpoint-sqrt
+    smoothing reduces to one global scale, pgo.py module docstring).
+
+    Convention (deliberate divergence from the reference): the scale
+    channel stores the map GAUGE g = world-translation-units per metric
+    unit — the convention the BA odometry kernel consumes
+    (gn_kernels.cu:1144-1177 predicts the metric delta as
+    ``(1/s_j) Ri^T (tj - ti)``), so metric translation = t / s. The PGO
+    solves s_pgo = metric per world unit (``s_pgo * t_vo = t_odom``,
+    pgo.py:26-79), so we store ``1/s_pgo``. The reference stores s_pgo
+    directly while its BA reads the channel as g — inverse conventions
+    that only coincide at gauge 1, which its metric MASt3R checkpoint
+    guarantees; at a general monocular gauge the two fight (verified:
+    scripts/eval_synthetic.py --vio diverged until this inversion).
+    Writing g also leaves tracking stationary: the Sim(3) world
+    (structure AND translations) stays at gauge g, so future PGO deltas
+    keep estimating the same s_pgo. Conditional on-device: no host sync,
+    no-op while ``ok`` is False."""
+    g = 1.0 / jnp.maximum(s.astype(T_WC.dtype), 1e-8)
+    live = jnp.arange(T_WC.shape[0]) < n_size
+    sc = jnp.where(ok & live, g, T_WC[:, 7])
+    return T_WC.at[:, 7].set(sc)
+
+
 class SLAM:
     """Single-process TPU SLAM system (``VIO`` class API of the reference)."""
 
@@ -430,6 +458,20 @@ class SLAM:
                         self.pgo, jnp.asarray(self.current_T_WC), jnp.asarray(odom_pose[:7])
                     )
                     self.pgo, s, pgo_ok = pgo_optimize(self.pgo)
+                    # write the map gauge 1/s_pgo back into the keyframe
+                    # poses' Sim(3) scale channel (the reference applies
+                    # its PGO result via get_kf_poses() +
+                    # keyframes.update_T_WCs, tracker.py:347-353,
+                    # pgo.py:195-202): the exported SE3 trajectory stays
+                    # at VO gauge, the pose SCALES carry the gauge so the
+                    # metric trajectory is t / s — see _apply_pgo_scale
+                    # for the convention note. Conditional on-device (no
+                    # host sync); a no-op until the PGO has >10 frames.
+                    self.store = dataclasses.replace(
+                        self.store,
+                        T_WC=_apply_pgo_scale(self.store.T_WC,
+                                              self.store.n_size, s, pgo_ok),
+                    )
                 if self.use_backend:
                     # consecutive-edge half reuse: hand the backend the
                     # tracker's direction of this pair's decode+match. Not
@@ -645,6 +687,18 @@ class SLAM:
         poses = np.asarray(self.store.T_WC[jnp.asarray(slots)])
         stamps = self.kf_timestamps[-n:]
         return stamps, poses
+
+    def metric_keyframe_poses(self) -> Tuple[List[float], np.ndarray]:
+        """(timestamps, (N, 8) poses) with translations converted to metric
+        units: t / s, where the Sim(3) scale channel s is the map gauge
+        (world units per metric — see ``_apply_pgo_scale``). The gauge is
+        estimated by the scale-only PGO and the BA's odometry factors; with
+        neither active s stays 1 and this equals ``keyframe_poses``."""
+        stamps, poses = self.keyframe_poses()
+        out = poses.copy()
+        s = np.maximum(poses[:, 7:8], 1e-8)
+        out[:, :3] = poses[:, :3] / s
+        return stamps, out
 
     def get_pose(self) -> np.ndarray:
         return self.current_T_WC

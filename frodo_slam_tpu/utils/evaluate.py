@@ -126,9 +126,12 @@ def associate(ts_a: np.ndarray, ts_b: np.ndarray, max_dt: float = 0.02):
     return np.asarray(ia, int), np.asarray(ib, int)
 
 
-def umeyama_sim3(src: np.ndarray, dst: np.ndarray):
+def umeyama_sim3(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
     """Least-squares Sim(3) aligning ``src`` onto ``dst`` (Umeyama 1991),
-    the '-as' alignment of evo_ape. Returns (s, R, t)."""
+    the '-as' alignment of evo_ape. ``with_scale=False`` fixes s=1 (SE(3)
+    alignment, evo_ape '-a'): used to verify METRIC scale recovery — a
+    trajectory is metric iff it aligns well WITHOUT the scale freedom.
+    Returns (s, R, t)."""
     mu_s = src.mean(0)
     mu_d = dst.mean(0)
     xs = src - mu_s
@@ -140,7 +143,7 @@ def umeyama_sim3(src: np.ndarray, dst: np.ndarray):
         S[2, 2] = -1
     R = U @ S @ Vt
     var_s = (xs**2).sum() / len(src)
-    if var_s < 1e-12:  # degenerate (stationary) trajectory: rigid fallback
+    if not with_scale or var_s < 1e-12:  # SE(3) mode or degenerate
         s = 1.0
     else:
         s = np.trace(np.diag(D) @ S) / var_s
@@ -148,8 +151,10 @@ def umeyama_sim3(src: np.ndarray, dst: np.ndarray):
     return s, R, t
 
 
-def ate_rmse(gt_file, traj_file, max_dt: float = 0.02) -> float:
-    """Sim(3)-aligned absolute trajectory error RMSE in meters."""
+def ate_rmse(gt_file, traj_file, max_dt: float = 0.02,
+             with_scale: bool = True) -> float:
+    """Sim(3)-aligned absolute trajectory error RMSE in meters
+    (``with_scale=False``: SE(3) alignment — metric-scale check)."""
     ts_gt, xyz_gt = load_tum_traj(gt_file)
     ts_tr, xyz_tr = load_tum_traj(traj_file)
     ia, ib = associate(ts_tr, ts_gt, max_dt)
@@ -157,7 +162,7 @@ def ate_rmse(gt_file, traj_file, max_dt: float = 0.02) -> float:
         raise ValueError(f"only {len(ia)} associations between trajectories")
     src = xyz_tr[ia]
     dst = xyz_gt[ib]
-    s, R, t = umeyama_sim3(src, dst)
+    s, R, t = umeyama_sim3(src, dst, with_scale=with_scale)
     aligned = (s * (R @ src.T)).T + t
     err = np.linalg.norm(aligned - dst, axis=1)
     return float(np.sqrt((err**2).mean()))

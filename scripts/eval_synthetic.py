@@ -543,6 +543,101 @@ def run_loop(n_frames=24, noise=0.004, out_dir=None, with_retrieval=True):
     }
 
 
+def run_vio(n_frames=16, noise=0.002, alpha=0.5, use_odometry=True,
+            out_dir=None):
+    """VIO mode end to end (tracked config 5, BASELINE.md): wheel-odometry
+    SE(3) factors + the scale-only PGO recover METRIC scale.
+
+    Construction: the oracle world is rendered along a trajectory whose
+    translations are the metric ground truth scaled by ``alpha`` — pure VO
+    can only ever recover that alpha-scaled trajectory (the monocular
+    gauge g = alpha). The odometry stream reports the TRUE metric SE(3)
+    poses. With ``use_odometry``: per-keyframe odometry delta factors enter
+    the backend BA (gauss_newton_rays_odom semantics) and the scale-only
+    PGO (pgo.py:26-79) estimates the gauge, written into the keyframe
+    Sim(3) scale channels as g = world/metric (system._apply_pgo_scale
+    convention note: the BA kernel consumes the channel as a divisor,
+    gn_kernels.cu:1144-1177, so metric translation = t / s).
+
+    Metric-ness is asserted WITHOUT the Sim(3) alignment scale freedom:
+    SE(3)-aligned ATE of the metric trajectory (t_i / s_i) against the
+    metric ground truth must be small, while without odometry it misses by
+    ~(1 - alpha) x trajectory spread. The scale CHANNEL itself is a
+    transient, not alpha: the BA's odometry factors fix only the ratio
+    t-gauge/s (their residual is invariant under a global Sim(3) gauge
+    change), and the pinned first pose (s=1) makes their steady state the
+    fully metrized map (t -> metric, s -> 1) — the PGO write-back
+    (s = gauge) and the BA both keep t/s metric the whole way, which is
+    the invariant this eval checks."""
+    from frodo_slam_tpu.config import make_config
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.system import SLAM
+    from frodo_slam_tpu.utils import evaluate
+
+    key = jax.random.PRNGKey(0)
+    pts_w, D_desc = make_world(key)
+    install_oracle(pts_w, D_desc, noise)
+    T_metric = np.asarray(trajectory(n_frames))  # Sim3 (8,): metric GT
+    T_vo = T_metric.copy()
+    T_vo[:, :3] *= alpha  # what monocular VO sees (world is self-consistent)
+
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    cfg = make_config(
+        tracking={"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30,
+                  "match_frac_thresh": 1.1},  # keyframe per frame
+        local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
+        tpu={"max_keyframes": max(8, n_frames + 2),
+             "max_edges": max(32, 4 * n_frames),
+             "max_odom_edges": max(8, n_frames + 2)},
+    )
+    slam = SLAM(cfg, params, mcfg, (H, W), retrieval_db=None,
+                use_backend=True, use_reloc=False, single_thread=True,
+                local_opt_mode=use_odometry)
+
+    ok_count = 0
+    for t in range(n_frames):
+        img = encode_pose_image(jnp.asarray(T_vo[t]))
+        odom = T_metric[t, :7].astype(np.float64) if use_odometry else None
+        ok, pose, _ = slam.grab_rgb(img, timestamp=float(t), odom_pose=odom)
+        ok_count += int(ok)
+    slam.terminate()
+
+    stamps, poses = slam.keyframe_poses()  # (N, 8) Sim3, world gauge
+    scales = poses[:, 7]
+    s_med = float(np.median(scales))
+    _, poses_metric = slam.metric_keyframe_poses()  # t / s
+
+    out_dir = pathlib.Path(out_dir or tempfile.mkdtemp(prefix="synth_vio_"))
+    gt_rows = np.concatenate(
+        [np.arange(n_frames, dtype=np.float64)[:, None],
+         np.asarray(T_metric[:, :7], np.float64)], axis=1)
+    gt_path = out_dir / "vio_gt.txt"
+    np.savetxt(gt_path, gt_rows, fmt="%.9f")
+    traj_raw = evaluate.save_traj(out_dir, "vio_raw.txt", stamps, poses)
+    traj_met = evaluate.save_traj(out_dir, "vio_metric.txt", stamps,
+                                  poses_metric)
+
+    # SE(3)-aligned (scale-free) ATE: the metric test
+    ate_se3_raw = evaluate.ate_rmse(str(gt_path), str(traj_raw),
+                                    max_dt=0.5, with_scale=False)
+    ate_se3_scaled = evaluate.ate_rmse(str(gt_path), str(traj_met),
+                                       max_dt=0.5, with_scale=False)
+    # Sim(3)-aligned control (shape correctness independent of scale)
+    ate_sim3 = evaluate.ate_rmse(str(gt_path), str(traj_raw), max_dt=0.5)
+    return {
+        "mode": "vio" if use_odometry else "vio_no_odom",
+        "alpha": alpha,
+        "scale_median": round(s_med, 4),  # transient between alpha and 1
+        "ate_se3_raw": round(float(ate_se3_raw), 6),
+        "ate_se3_scaled": round(float(ate_se3_scaled), 6),
+        "ate_sim3": round(float(ate_sim3), 6),
+        "n_kf": len(stamps),
+        "frames_tracked_ok": ok_count,
+        "noise": noise,
+    }
+
+
 def run_episode(noise=0.0):
     """Failure-path episode (reference tracker.py:222-276 + vio.py:29-72,
     321-328): drives the REAL accept gate, the fnn descriptor fallback, and
@@ -648,6 +743,9 @@ if __name__ == "__main__":
     ap.add_argument("--loop", action="store_true",
                     help="loop-closure A/B on the plane world: out-and-back "
                          "trajectory with and without the retrieval database")
+    ap.add_argument("--vio", action="store_true",
+                    help="VIO metric-scale A/B: alpha-scaled VO world + "
+                         "metric odometry, with and without odometry factors")
     ap.add_argument("--per-frame", action="store_true",
                     help="normal keyframing + per-frame-pose ATE (exercises "
                          "the warm-started matcher path)")
@@ -663,6 +761,12 @@ if __name__ == "__main__":
         off = run_loop(args.frames, args.noise, out_dir=args.out,
                        with_retrieval=False)
         print(json.dumps({"loop": on, "no_retrieval": off}))
+    elif args.vio:
+        on = run_vio(min(args.frames, 16), args.noise, out_dir=args.out,
+                     use_odometry=True)
+        off = run_vio(min(args.frames, 16), args.noise, out_dir=args.out,
+                      use_odometry=False)
+        print(json.dumps({"vio": on, "no_odom": off}))
     else:
         print(json.dumps(run(args.frames, args.noise,
                              single_thread=not args.threaded, out_dir=args.out,

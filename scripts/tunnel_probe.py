@@ -45,20 +45,23 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    g = jax.jit(lambda a: a + 1)
-    s = jnp.float32(1.0)
-    g(s).block_until_ready()
-
-    t0 = time.perf_counter()
-    float(g(s))
-    scalar_ms = (time.perf_counter() - t0) * 1e3
-
     a = jnp.ones((128, 128), jnp.float32)  # 64 KB
     f = jax.jit(lambda x: x * 2)
     f(a).block_until_ready()
     t0 = time.perf_counter()
     np.asarray(f(a))
     small_ms = (time.perf_counter() - t0) * 1e3
+
+    # tiny ARRAY fetch: the path every pipeline host sync now rides
+    # (np.asarray(res.flags); bench.py and system.grab_rgb) — the scalar
+    # float() path degrades independently (PERF.md 2026-08-19: 125-612 s
+    # scalar while (1,) array fetches stayed ~30 ms)
+    a1 = jnp.ones((32,), jnp.float32)
+    f1 = jax.jit(lambda x: x + 1)
+    f1(a1).block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(f1(a1))
+    tiny_ms = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
     for _ in range(20):
@@ -71,13 +74,27 @@ def main() -> int:
     jax.device_put(h).block_until_ready()
     put_ms = (time.perf_counter() - t0) * 1e3
 
-    healthy = scalar_ms < 150 and small_ms < 150 and put_ms < 300
+    # the scalar float() path is measured LAST and only on request: the
+    # pipeline no longer uses it, and in degraded windows it takes minutes
+    # — gating usability on it starves measurement windows where every
+    # path the system actually uses is fine
+    scalar_ms = None
+    if os.environ.get("FRODO_PROBE_SCALAR"):
+        g = jax.jit(lambda x: x + 1)
+        sc = jnp.float32(1.0)
+        g(sc).block_until_ready()
+        t0 = time.perf_counter()
+        float(g(sc))
+        scalar_ms = round((time.perf_counter() - t0) * 1e3, 1)
+
+    healthy = tiny_ms < 150 and small_ms < 150 and put_ms < 300
     print(json.dumps({
         "ok": True,
-        "scalar_fetch_ms": round(scalar_ms, 1),
+        "tiny_fetch_ms": round(tiny_ms, 1),
         "small_fetch_ms": round(small_ms, 1),
         "dispatch_ms": round(disp_ms, 2),
         "put_ms": round(put_ms, 1),
+        "scalar_fetch_ms": scalar_ms,
         "healthy": healthy,
     }))
     return 0

@@ -25,8 +25,14 @@ while true; do
   # run the sweep in the first USABLE window (fetch path not pathological):
   # full health may never arrive, relative A/Bs stay valid in any stable
   # window, and bench.py records its own sync_ms context per run
+  # usability = the ARRAY fetch path (what the pipeline actually syncs on:
+  # np.asarray(res.flags)); the scalar float() path degrades independently
+  # and is no longer used by any hot-path host sync
   usable=$(echo "$out" | python3 -c "import sys,json
-try: r=json.load(sys.stdin); print(int(r.get('ok') and r.get('scalar_fetch_ms',9e9)<1000))
+try:
+    r=json.load(sys.stdin)
+    t=r.get('tiny_fetch_ms', r.get('scalar_fetch_ms', 9e9))
+    print(int(bool(r.get('ok')) and t<1000 and r.get('small_fetch_ms',9e9)<1000))
 except Exception: print(0)")
   if [ ! -e "$SWEEP_DONE" ] && [ "$usable" = "1" ]; then
     echo "$(date -u +%FT%TZ) tunnel healthy -> running A/B sweep $SWEEP"

@@ -128,3 +128,41 @@ def test_point_edge_jacobian_fd():
     P = lie.sim3_act(lie.sim3_rel(Ti, Tj), Xj)
     Jj = _rel_jacobian(jnp.eye(3), P, Ti)
     np.testing.assert_allclose(np.asarray(Jj), J_j_fd, atol=1e-5)
+
+
+def test_odom_edge_system_exact():
+    """The odometry-edge normal-equation blocks must be built from the
+    EXACT Jacobian of the SE(3)-log residual under the solver's left
+    retraction — the reference's adjoint approximation
+    (gn_kernels.cu:1193-1237) is ~45% off at general poses with non-unit
+    scale and made the combined ray+odom GN diverge once the PGO scale
+    write-back moved pose scales away from 1."""
+    from frodo_slam_tpu.slam.global_opt import (
+        BAConfig, _odom_edge_system, _odom_residual,
+    )
+
+    cfg = BAConfig(sigma_odom_t=1.0, sigma_odom_r=1.0)  # unit weights
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    Ti = lie.sim3_exp(
+        jax.random.normal(k1, (7,)) * jnp.asarray([0.5] * 3 + [0.3] * 3 + [0.4]))
+    Tj = lie.sim3_exp(
+        jax.random.normal(k2, (7,)) * jnp.asarray([0.5] * 3 + [0.3] * 3 + [0.4]))
+    T = jnp.stack([Ti, Tj])
+    dm = jax.random.normal(k3, (6,)) * 0.3
+    delta = jnp.concatenate([dm[:3], lie.so3_exp(dm[3:])])
+
+    def resid(eps):
+        Tp = jnp.stack([lie.sim3_retr(Ti, eps[:7]), lie.sim3_retr(Tj, eps[7:])])
+        return _odom_residual(Tp, 0, 1, delta)
+
+    J = jax.jacfwd(resid)(jnp.zeros(14))
+    r0 = resid(jnp.zeros(14))
+    H, g = _odom_edge_system(cfg, T, jnp.int32(0), jnp.int32(1), delta)
+    # sigma=1: huber weights are 1 in the quadratic zone; clip like the impl
+    from frodo_slam_tpu.ops.robust import huber
+
+    w = np.asarray(jnp.concatenate([huber(r0[:3]), huber(r0[3:])]))
+    JtWJ = np.asarray(J).T @ (w[:, None] * np.asarray(J))
+    JtWr = np.asarray(J).T @ (w * np.asarray(r0))
+    np.testing.assert_allclose(np.asarray(H), JtWJ, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g), JtWr, rtol=1e-5, atol=1e-7)
