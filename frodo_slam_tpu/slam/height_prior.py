@@ -5,8 +5,9 @@ Behavioral spec: ``mast3r_slam/height_prior.py`` ``RectanglePlaneEstimator``
 RANSAC plane fit (Open3D ``segment_plane`` in the reference), reject if the
 plane normal tilts more than ``max_tilt_deg`` from the camera y-axis or has
 too few inliers, else return ground height ``-d / b``. The backend turns it
-into a per-keyframe scale target ``s_bar = camera_height / h_bar``
-(global_opt.py:212-224).
+into a per-keyframe scale target (global_opt.py:212-224; this framework
+inverts the reference's ratio to match its gauge convention — see
+``scale_targets``).
 
 TPU design: the reference runs Open3D's sequential RANSAC on the CPU per
 keyframe. Here all ``ransac_iterations`` hypotheses are evaluated at once —
@@ -127,10 +128,22 @@ class RectanglePlaneEstimator:
 
 def scale_targets(estimator: RectanglePlaneEstimator, pointmaps, image_size,
                   camera_height: float) -> np.ndarray:
-    """Per-keyframe scale-prior targets s_bar = camera_height / h_bar;
-    -1 where the plane fit is rejected (global_opt.py:212-224)."""
+    """Per-keyframe scale-prior targets s_bar = h_bar / camera_height;
+    -1 where the plane fit is rejected (global_opt.py:212-224).
+
+    Convention (deliberate divergence from the reference, which computes
+    ``camera_height / h_bar``): the Sim(3) scale channel in this framework
+    is the map GAUGE g = world-units-per-metric — the convention the BA
+    odometry kernel consumes (``t_pred = (1/s_j)...``,
+    gn_kernels.cu:1144-1177; see system._apply_pgo_scale). The canonical
+    pointmap measures the ground at h_bar = g * camera_height, so the
+    gauge target the scale prior ``r = log(s_i / s_bar_i)`` must pull
+    toward is ``h_bar / camera_height``. The reference's formula is the
+    inverse (metric-per-world) and feeds the SAME solve as its odometry
+    factors — the two fight at any gauge != 1, which its metric MASt3R
+    checkpoint hides."""
     out = []
     for X in pointmaps:
         h_bar = estimator.run(X, image_size)
-        out.append(camera_height / h_bar if h_bar is not None and h_bar > 1e-6 else -1.0)
+        out.append(h_bar / camera_height if h_bar is not None and h_bar > 1e-6 else -1.0)
     return np.asarray(out, np.float32)

@@ -368,3 +368,26 @@ def test_height_prior_mask_file(tmp_path):
     p2 = tmp_path / "polygon_mask.pkl"
     pickle.dump(poly, open(p2, "wb"))
     assert corners_from_mask_file(str(p2)) == ((88, 208), (388, 272))
+
+
+def test_height_prior_scale_target_is_map_gauge():
+    """scale_targets must return the map GAUGE g = world-per-metric (the
+    Sim(3) scale-channel convention of the BA odometry kernel and the PGO
+    write-back; metric = t / s): a pointmap whose ground plane sits at
+    g * camera_height must yield s_bar = g. The reference computes the
+    inverse (camera_height / h_bar) — see the scale_targets docstring."""
+    from frodo_slam_tpu.slam.height_prior import (
+        RectanglePlaneEstimator, scale_targets,
+    )
+
+    h, w = 24, 32
+    camera_height = 0.5
+    g = 2.0  # map gauge: world units are 2x metric
+    rng = np.random.default_rng(5)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    X = np.stack([(uu - w / 2) / 10, np.full_like(uu, g * camera_height), 2 + vv / 10], axis=-1)
+    X += rng.normal(size=X.shape) * 0.002
+    est = RectanglePlaneEstimator(corners=((0, 0), (w - 1, h - 1)), min_inliers=50,
+                                  ransac_iterations=200)
+    sb = scale_targets(est, [X.reshape(-1, 3)], (h, w), camera_height)
+    np.testing.assert_allclose(sb, [g], atol=0.05)
