@@ -184,8 +184,8 @@ def main():
         # from the rest of the half path
         match_cfg_d["seed_consecutive"] = False
     # consecutive-edge half reuse: default follows the config knob
-    # (tpu.consecutive_half_reuse, OFF — see base.yaml for the measured
-    # remote-tunnel async pathology); FRODO_BENCH_HALF=1 / NO_HALF=1 force
+    # (tpu.consecutive_half_reuse, ON — 20.2 vs 17.2 FPS in the round-3
+    # sweep, base.yaml); FRODO_BENCH_HALF=1 / NO_HALF=1 force
     if os.environ.get("FRODO_BENCH_HALF"):
         use_half = True
     elif os.environ.get("FRODO_BENCH_NO_HALF"):

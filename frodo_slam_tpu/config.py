@@ -80,6 +80,8 @@ def default_config() -> Dict[str, Any]:
                 "max_iter_warm": 4,
                 "seed_consecutive": True,
                 "ft_matching_threshold": 0.8,
+                "refine_impl": "auto",
+                "symmetric_impl": "batch",
             },
             "tracking": {
                 "min_match_frac": 0.008,
@@ -133,16 +135,29 @@ def default_config() -> Dict[str, Any]:
                 "ransac_iters": 100,
                 "dist_thresh": 0.02,
                 "tilt_max_deg": 5.0,
+                "rect": None,  # ground-region corners; None = bottom band
+                "mask_file": None,  # reference-style pickled region
             },
             # TPU-specific runtime knobs (no reference counterpart).
             "tpu": {
                 "dtype": "bfloat16",  # enc/dec compute dtype
-                "max_edges": 64,  # padded backend factor-graph capacity
+                # model head compute dtype: float32 is the reference
+                # contract (heads run fp32 under autocast,
+                # mast3r_utils.py:88); bfloat16 runs the DPT convs on the
+                # MXU (~+1 FPS e2e, ~0.4% depth quantization — PERF.md r3)
+                "head_dtype": "float32",
+                "max_edges": 256,  # padded backend factor-graph capacity
                 "max_odom_edges": 64,
                 "max_keyframes": 300,  # ring buffer (frame.py:361)
                 "ba_opt_window": 32,  # dense-GN pose window capacity
                 "match_chunks": 16,  # HW chunking for matcher memory
                 "mesh": {"dp": 1, "tp": 1},
+                # reuse the tracker's half of the consecutive pair
+                # decode+match in the backend (see configs/base.yaml)
+                "consecutive_half_reuse": True,
+                # bounded backend pending-task queue (reference semantics:
+                # the frontend never blocks on the backend, vio.py:109-115)
+                "backend_queue_max": 8,
             },
         }
     )

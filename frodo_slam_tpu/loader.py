@@ -44,9 +44,37 @@ def load_mast3r(path: Optional[str] = None, cfg: Optional[mast3r.MASt3RConfig] =
         "will be meaningless (benchmark/smoke-test mode only)"
     )
     if os.environ.get("FRODO_ENTRY_TINY"):
-        cfg = mast3r.tiny_config()
+        import dataclasses
+
+        cfg = dataclasses.replace(  # keep the caller's compute knobs
+            mast3r.tiny_config(), dtype=cfg.dtype,
+            head_dtype=cfg.head_dtype, attention_impl=cfg.attention_impl,
+        )
     params = mast3r.init_params(jax.random.PRNGKey(0), cfg)
     return mast3r.cast_transformer_params(params, cfg.dtype), cfg
+
+
+def apply_tpu_model_knobs(model_cfg: mast3r.MASt3RConfig, cfg) -> mast3r.MASt3RConfig:
+    """Apply the yaml ``tpu:`` model-compute knobs to a loaded model config.
+
+    ``tpu.dtype`` (enc/dec compute), ``tpu.head_dtype`` (DPT/desc heads —
+    float32 is the reference contract, mast3r_utils.py:88; bfloat16 trades
+    ~0.4% depth quantization for ~+1 FPS e2e, PERF.md r3), and
+    ``tpu.attention_impl`` (xla | pallas). Missing keys leave the model
+    config untouched."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    tpu = cfg.get("tpu", {}) or {}
+    reps = {}
+    if tpu.get("dtype"):
+        reps["dtype"] = jnp.dtype(str(tpu["dtype"]))
+    if tpu.get("head_dtype"):
+        reps["head_dtype"] = jnp.dtype(str(tpu["head_dtype"]))
+    if tpu.get("attention_impl"):
+        reps["attention_impl"] = str(tpu["attention_impl"])
+    return dataclasses.replace(model_cfg, **reps) if reps else model_cfg
 
 
 def head_fingerprint(head) -> str:

@@ -26,7 +26,7 @@ def run(args) -> dict:
 
     from .config import make_config
     from .data import load_dataset
-    from .loader import load_mast3r, load_retriever
+    from .loader import apply_tpu_model_knobs, load_mast3r, load_retriever
     from .slam.system import SLAM
     from .utils import evaluate
 
@@ -61,7 +61,13 @@ def run(args) -> dict:
         )
     (h, w), _ = dataset.get_img_shape()
 
-    params, model_cfg = load_mast3r(args.weights)
+    from .models import mast3r as mast3r_mod
+
+    # yaml tpu: model-compute knobs (head_dtype / attention_impl / dtype)
+    # are applied BEFORE load so the one-time weight cast uses the final
+    # compute dtype (loader.py:cast_transformer_params)
+    model_base = apply_tpu_model_knobs(mast3r_mod.MASt3RConfig(), cfg)
+    params, model_cfg = load_mast3r(args.weights, cfg=model_base)
     retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
     calib = dataset.camera_intrinsics.K_frame if (cfg["use_calib"] and dataset.has_calib()) else None
 

@@ -46,7 +46,7 @@ def run_dataset(args):
     jax.config.update("jax_enable_x64", True)
 
     from .config import make_config
-    from .loader import load_mast3r, load_retriever
+    from .loader import apply_tpu_model_knobs, load_mast3r, load_retriever
     from .slam.odometry import OdometryData
     from .slam.system import SLAM
 
@@ -54,7 +54,10 @@ def run_dataset(args):
     K_frame = _load_calib_K(args, cfg)
     data = OdometryData(args.dataset, wall_clock=args.wall_clock, use_odometry=args.use_odometry)
 
-    params, model_cfg = load_mast3r(args.weights)
+    from .models import mast3r as mast3r_mod
+
+    params, model_cfg = load_mast3r(
+        args.weights, cfg=apply_tpu_model_knobs(mast3r_mod.MASt3RConfig(), cfg))
     retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
 
     slam = None
@@ -105,7 +108,7 @@ def run_robot(args):  # pragma: no cover - hardware
     jax.config.update("jax_enable_x64", True)
 
     from .config import make_config
-    from .loader import load_mast3r, load_retriever
+    from .loader import apply_tpu_model_knobs, load_mast3r, load_retriever
     from .slam.odometry import StraightOrSpinOdometry
     from .slam.system import SLAM
 
@@ -113,7 +116,10 @@ def run_robot(args):  # pragma: no cover - hardware
     K_frame = _load_calib_K(args, cfg)
     odo = StraightOrSpinOdometry(robot_type=args.robot_type)
     odo.start()
-    params, model_cfg = load_mast3r(args.weights)
+    from .models import mast3r as mast3r_mod
+
+    params, model_cfg = load_mast3r(
+        args.weights, cfg=apply_tpu_model_knobs(mast3r_mod.MASt3RConfig(), cfg))
     retrieval = load_retriever(model_cfg) if not args.no_retrieval else None
 
     slam = None
