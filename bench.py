@@ -284,12 +284,15 @@ def main():
             res11, res21 = decode_asymmetric(
                 params, mcfg, feat_i, pos_i, feat_j, pos_j, (h, w))
             if match_cfg_d.get("seed_consecutive", True):
-                idx_seed, mcfg_dir = _invert_match(idx_j2i.astype(jnp.int32), vm_i), warm_cfg
+                (idx_seed, seeded), mcfg_dir = (
+                    _invert_match(idx_j2i.astype(jnp.int32), vm_i), warm_cfg)
             else:
-                idx_seed, mcfg_dir = None, cold_cfg
+                (idx_seed, seeded), mcfg_dir = (None, None), cold_cfg
             idx_i2j, vm_j = matching_ops.match(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
                 idx_seed, **mcfg_dir)
+            if seeded is not None:  # drop identity-hole seeds (backend.py)
+                vm_j = vm_j & seeded[..., None]
             Qii = res11["desc_conf"].reshape(1, h * w, 1)
             Qji = res21["desc_conf"].reshape(1, h * w, 1)
         else:

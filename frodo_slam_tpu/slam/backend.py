@@ -70,12 +70,21 @@ def _invert_match(idx_j2i, valid_match_i):
     """Approximate inverse of a dense match: ``idx_j2i`` maps each query
     pixel p to a target pixel; the returned seed maps each target pixel
     back to p (identity where no valid inverse exists; scatter collisions
-    keep an arbitrary winner). Good enough as an iter_proj warm start —
-    the LM projector refines it."""
+    keep an arbitrary winner).
+
+    Returns ``(idx_seed, seeded)`` where ``seeded`` (b, hw) marks pixels
+    that received a genuine inverse. HOLE pixels sit at identity — an
+    arbitrary guess the warm schedule (score-only refine, few LM iters)
+    cannot repair, and a weak descriptor gate may fail to reject (wrong
+    geometry passing as a valid constraint — the loop-harness regression,
+    PERF.md 2026-08-20); seeded-match consumers must mask them out."""
     b, hw = idx_j2i.shape
     ident = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
     src = jnp.where(valid_match_i[..., 0], idx_j2i, hw)  # invalid -> dropped
-    return ident.at[jnp.arange(b)[:, None], src].set(ident, mode="drop")
+    rows = jnp.arange(b)[:, None]
+    idx_seed = ident.at[rows, src].set(ident, mode="drop")
+    seeded = jnp.zeros((b, hw), bool).at[rows, src].set(True, mode="drop")
+    return idx_seed, seeded
 
 
 @partial(jax.jit, static_argnames=())
@@ -320,11 +329,16 @@ class BackendGraph:
             # at identity; per-pixel validity gating absorbs the ones the
             # warm reach cannot recover (consecutive edges are masked, not
             # gated wholesale, global_opt.py:117-127).
-            idx_seed = _invert_match(idx_j2i.astype(jnp.int32), valid_match_i)
+            idx_seed, seeded = _invert_match(
+                idx_j2i.astype(jnp.int32), valid_match_i)
             idx_i2j, valid_match_j = matching.match(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
                 idx_seed, **warm_cfg,
             )
+            # identity-hole seeds are arbitrary guesses the warm schedule
+            # cannot repair; keep only genuinely seeded pixels (the edge is
+            # per-pixel masked, not gated wholesale, global_opt.py:117-127)
+            valid_match_j = valid_match_j & seeded[..., None]
         else:
             idx_i2j, valid_match_j = matching.match(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],

@@ -222,7 +222,7 @@ class SLAM:
         # IN-FLIGHT task only, preempting the pending backlog (the reference
         # backend checks RELOC mode before popping tasks, vio.py:102-107)
         self._backend_exec_lock = threading.Lock()
-        self._half_reuse = bool(cfg.tpu.get("consecutive_half_reuse", False))
+        self._half_reuse = bool(cfg.tpu.get("consecutive_half_reuse", True))
         self._backend_worker: Optional[threading.Thread] = None
         self._map_epoch = 0  # bumped on reset(); stale backend merges are dropped
 

@@ -125,7 +125,7 @@ def run(use_half):
             idx_j2i, vm_i, Qjj, Qij = ph
             r11, r21 = decode_asymmetric(params, mcfg, kf_w.feat, kf_w.pos,
                                          fused.feat, fused.pos, (h, w))
-            seed = _invert_match(idx_j2i.astype(jnp.int32), vm_i)
+            seed, _seeded = _invert_match(idx_j2i.astype(jnp.int32), vm_i)
             ii2j, vj = matching_ops.match(r11["pts3d"], r21["pts3d"],
                                           r11["desc"], r21["desc"], seed, **warm_cfg)
             sync(ii2j)
@@ -172,7 +172,7 @@ def run(use_half):
                 r = stage("decode_asym", lambda: decode_asymmetric(
                     params, mcfg, feat_i, pos_i, feat_j, pos_j, (h, w)))
                 res11, res21 = r
-                seed = stage("invert", lambda: _invert_match(
+                (seed, _seeded) = stage("invert", lambda: _invert_match(
                     idx_j2i.astype(jnp.int32), vm_i))
                 mj = stage("match_dir", lambda: matching_ops.match(
                     res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],

@@ -95,8 +95,8 @@ timed("match warm b=1 (seeded)",
       None)
 
 timed("_invert_match",
-      lambda: _invert_match(idx0, vm0),
-      chain=lambda cur: _invert_match(cur, vm0))
+      lambda: _invert_match(idx0, vm0)[0],
+      chain=lambda cur: _invert_match(cur, vm0)[0])
 
 # --- the full symmetric program for reference ------------------------------
 timed("match_symmetric (decode b=2 + cold match both dirs)",

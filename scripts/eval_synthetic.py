@@ -335,24 +335,8 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None,
 
     mcfg = mast3r.tiny_config()
     params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
-    matching_over = {}
-    if os.environ.get("FRODO_SYNTH_DILATION"):  # refine-depth accuracy A/B
-        matching_over["dilation_max"] = int(os.environ["FRODO_SYNTH_DILATION"])
-    if os.environ.get("FRODO_SYNTH_DILATION_WARM") is not None:
-        # warm-started-frame refine reach A/B (matching.dilation_max_warm)
-        matching_over["dilation_max_warm"] = int(
-            os.environ["FRODO_SYNTH_DILATION_WARM"])
-    if os.environ.get("FRODO_SYNTH_MAXITER_WARM") is not None:
-        # warm-started-frame LM iteration cap A/B (matching.max_iter_warm)
-        matching_over["max_iter_warm"] = int(
-            os.environ["FRODO_SYNTH_MAXITER_WARM"])
-    tpu_over = {}
-    if os.environ.get("FRODO_SYNTH_HALF") is not None:
-        # consecutive-edge half-reuse accuracy A/B (tpu.consecutive_half_reuse
-        # + the seeded warm-schedule missing-direction match): must be
-        # ATE-neutral before the knob can default on
-        tpu_over["consecutive_half_reuse"] = bool(
-            int(os.environ["FRODO_SYNTH_HALF"]))
+    matching_over = _synth_matching_overrides()
+    tpu_over = _synth_tpu_overrides()
     tracking_over = {"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30}
     if not per_frame:
         # keyframe every frame: the saved trajectory is keyframe poses, so
@@ -422,6 +406,31 @@ def _ate_of_system(slam, T_true, n_frames, out_dir):
     return float(evaluate.ate_rmse(str(gt_path), str(traj), max_dt=0.5))
 
 
+def _synth_tpu_overrides():
+    """tpu: overrides shared by all harnesses. FRODO_SYNTH_HALF A/Bs the
+    consecutive-edge half reuse (tpu.consecutive_half_reuse + the seeded
+    warm-schedule missing-direction match): must be ATE-neutral across
+    straight, calib, AND loop harnesses for the knob to stay default-on."""
+    over = {}
+    if os.environ.get("FRODO_SYNTH_HALF") is not None:
+        over["consecutive_half_reuse"] = bool(int(os.environ["FRODO_SYNTH_HALF"]))
+    return over
+
+
+def _synth_matching_overrides():
+    """matching: overrides shared by all harnesses (accuracy A/B knobs)."""
+    over = {}
+    if os.environ.get("FRODO_SYNTH_DILATION"):
+        over["dilation_max"] = int(os.environ["FRODO_SYNTH_DILATION"])
+    if os.environ.get("FRODO_SYNTH_DILATION_WARM") is not None:
+        over["dilation_max_warm"] = int(os.environ["FRODO_SYNTH_DILATION_WARM"])
+    if os.environ.get("FRODO_SYNTH_MAXITER_WARM") is not None:
+        over["max_iter_warm"] = int(os.environ["FRODO_SYNTH_MAXITER_WARM"])
+    if os.environ.get("FRODO_SYNTH_SEED") is not None:
+        over["seed_consecutive"] = bool(int(os.environ["FRODO_SYNTH_SEED"]))
+    return over
+
+
 def run_calib(n_frames=20, noise=0.003, out_dir=None):
     """CALIBRATED pipeline end-to-end on the plane world: pixel+log-depth
     tracking GN (tracker.py:467-517) + the calibrated backend window solve
@@ -442,8 +451,9 @@ def run_calib(n_frames=20, noise=0.003, out_dir=None):
         tracking={"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30,
                   "match_frac_thresh": 1.1},  # keyframe every frame
         local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
+        matching=_synth_matching_overrides(),
         tpu={"max_keyframes": max(8, n_frames + 2), "max_edges": 32,
-             "max_odom_edges": 8},
+             "max_odom_edges": 8, **_synth_tpu_overrides()},
     )
     slam = SLAM(cfg, params, mcfg, (H, W), calib=K, retrieval_db=None,
                 use_backend=True, use_reloc=False, single_thread=True)
@@ -503,8 +513,10 @@ def run_loop(n_frames=24, noise=0.004, out_dir=None, with_retrieval=True):
         tracking={"min_match_frac": 0.0, "Q_conf": 0.0, "max_iters": 30,
                   "match_frac_thresh": 1.1},
         local_opt={"Q_conf": 0.0, "min_match_frac": 0.2, "max_iters": 6},
+        matching=_synth_matching_overrides(),
         tpu={"max_keyframes": max(8, n_frames + 2),
-             "max_edges": max(64, 3 * n_frames), "max_odom_edges": 8},
+             "max_edges": max(64, 3 * n_frames), "max_odom_edges": 8,
+             **_synth_tpu_overrides()},
     )
     db = None
     if with_retrieval:

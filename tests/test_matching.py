@@ -399,10 +399,11 @@ def test_invert_match_roundtrip():
     idx = (np.arange(hw, dtype=np.int32) + 3) % hw
     valid = np.ones((1, hw, 1), bool)
     valid[0, 5, 0] = False
-    inv = np.asarray(_invert_match(jnp.asarray(idx[None]), jnp.asarray(valid)))[0]
+    inv_j, seeded_j = _invert_match(jnp.asarray(idx[None]), jnp.asarray(valid))
+    inv, seeded = np.asarray(inv_j)[0], np.asarray(seeded_j)[0]
     for q in range(hw):
         p = (q - 3) % hw
         if p == 5:
-            assert inv[q] == q  # unmatched target: identity seed
+            assert inv[q] == q and not seeded[q]  # hole: identity, unmasked
         else:
-            assert inv[q] == p
+            assert inv[q] == p and seeded[q]
