@@ -276,7 +276,8 @@ def main():
         The full symmetric path (no half) is what reloc/loop-closure pairs
         pay; the bench takes the consecutive path, like the real per-KF
         stream."""
-        cold_cfg, warm_cfg = matching_ops.split_match_cfg(match_cfg_d)
+        cold_cfg, _ = matching_ops.split_match_cfg(match_cfg_d)
+        seed_cfg = matching_ops.seed_match_cfg(match_cfg_d)
         if pair_half is not None and copy_half:
             pair_half = copy_prog(pair_half)
         if pair_half is not None:
@@ -285,7 +286,7 @@ def main():
                 params, mcfg, feat_i, pos_i, feat_j, pos_j, (h, w))
             if match_cfg_d.get("seed_consecutive", True):
                 (idx_seed, seeded), mcfg_dir = (
-                    _invert_match(idx_j2i.astype(jnp.int32), vm_i), warm_cfg)
+                    _invert_match(idx_j2i.astype(jnp.int32), vm_i), seed_cfg)
             else:
                 (idx_seed, seeded), mcfg_dir = (None, None), cold_cfg
             idx_i2j, vm_j = matching_ops.match(

@@ -398,6 +398,7 @@ def split_match_cfg(match_cfg) -> tuple:
     cold.pop("symmetric_impl", None)  # match_symmetric decode strategy knob
     warm_d = cold.pop("dilation_max_warm", None)
     warm_it = cold.pop("max_iter_warm", None)
+    cold.pop("dilation_max_seed", None)  # consumed by seed_match_cfg
     warm = dict(cold)
     if warm_d:
         # -1: NO refine window on warm frames — the descriptor probe at the
@@ -408,6 +409,27 @@ def split_match_cfg(match_cfg) -> tuple:
     if warm_it:
         warm["max_iter"] = int(warm_it)
     return cold, warm
+
+
+def seed_match_cfg(match_cfg) -> dict:
+    """:func:`match` config for the backend's INVERSE-seeded consecutive
+    match (backend.add_consecutive_half).
+
+    The tracker's warm frames are seeded with the SAME-direction previous
+    converged match (sub-pixel), so a score-only schedule
+    (``dilation_max_warm: -1``) is safe there. The inverted seed is only
+    approximately converged — scatter collisions keep an arbitrary winner
+    and the inverse of an asymmetric match is off by its asymmetry — so a
+    score-only probe lets 1-2 px errors through the gates as subtly wrong
+    consecutive constraints (measured: the loop-closure oracle regressed
+    0.12 -> 0.20 ATE; a real refine reach restores it, PERF.md 2026-08-20).
+    ``dilation_max_seed`` (default 2: the two finest pyramid levels, ±6 px
+    reach) sets that reach; the warm LM iteration cap still applies."""
+    cold, warm = split_match_cfg(match_cfg)
+    seed = dict(warm)
+    d = match_cfg.get("dilation_max_seed", 2)
+    seed["dilation_max"] = max(0, min(int(d), int(cold.get("dilation_max", 5))))
+    return seed
 
 
 def _refine_dispatch(impl: str):

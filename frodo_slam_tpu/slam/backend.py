@@ -314,7 +314,8 @@ class BackendGraph:
         )
         mc = dict(self.match_cfg)
         seed = bool(mc.get("seed_consecutive", True))
-        cold_cfg, warm_cfg = matching.split_match_cfg(mc)
+        cold_cfg, _ = matching.split_match_cfg(mc)
+        seed_cfg = matching.seed_match_cfg(mc)
         if seed:
             # Seed the missing direction with the INVERSE of the tracker's
             # match: the tracker mapped i-pixels -> j-pixels; the (i, j)
@@ -333,7 +334,7 @@ class BackendGraph:
                 idx_j2i.astype(jnp.int32), valid_match_i)
             idx_i2j, valid_match_j = matching.match(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
-                idx_seed, **warm_cfg,
+                idx_seed, **seed_cfg,
             )
             # identity-hole seeds are arbitrary guesses the warm schedule
             # cannot repair; keep only genuinely seeded pixels (the edge is
