@@ -156,8 +156,9 @@ def default_config() -> Dict[str, Any]:
                 # reuse the tracker's half of the consecutive pair
                 # decode+match in the backend (see configs/base.yaml)
                 "consecutive_half_reuse": True,
-                # bounded backend pending-task queue (reference semantics:
-                # the frontend never blocks on the backend, vio.py:109-115)
+                # backlog WARNING threshold for the (unbounded) backend
+                # task queue — the frontend never blocks on the backend
+                # (reference semantics, vio.py:109-115; system.py:212-224)
                 "backend_queue_max": 8,
             },
         }

@@ -46,10 +46,17 @@ def load_mast3r(path: Optional[str] = None, cfg: Optional[mast3r.MASt3RConfig] =
     if os.environ.get("FRODO_ENTRY_TINY"):
         import dataclasses
 
-        cfg = dataclasses.replace(  # keep the caller's compute knobs
-            mast3r.tiny_config(), dtype=cfg.dtype,
-            head_dtype=cfg.head_dtype, attention_impl=cfg.attention_impl,
-        )
+        # keep the caller's compute knobs — but only those EXPLICITLY set
+        # (different from MASt3RConfig defaults): tiny_config() deliberately
+        # defaults dtype=float32 for CPU smoke runs, and blindly copying the
+        # caller's bf16 default silently flipped those to bf16 (ADVICE r3)
+        base = mast3r.MASt3RConfig()
+        reps = {
+            k: getattr(cfg, k)
+            for k in ("dtype", "head_dtype", "attention_impl")
+            if getattr(cfg, k) != getattr(base, k)
+        }
+        cfg = dataclasses.replace(mast3r.tiny_config(), **reps)
     params = mast3r.init_params(jax.random.PRNGKey(0), cfg)
     return mast3r.cast_transformer_params(params, cfg.dtype), cfg
 

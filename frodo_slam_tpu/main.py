@@ -100,6 +100,8 @@ def run(args) -> dict:
     # per-frame host sync
     pending = None
     for timestamp, dev_img in loader:
+        if viewer is not None:
+            viewer.wait_if_paused()  # browser pause/step control channel
         if pending is not None:
             slam.grab_rgb(pending[1], timestamp=float(pending[0]), next_img=dev_img)
             fps_count += 1

@@ -424,7 +424,9 @@ def seed_match_cfg(match_cfg) -> dict:
     consecutive constraints (measured: the loop-closure oracle regressed
     0.12 -> 0.20 ATE; a real refine reach restores it, PERF.md 2026-08-20).
     ``dilation_max_seed`` (default 2: the two finest pyramid levels, ±6 px
-    reach) sets that reach; the warm LM iteration cap still applies."""
+    reach) sets that reach; the warm LM iteration cap also applies when
+    ``max_iter_warm`` is set (when the warm split is disabled the seed
+    config inherits the full cold ``max_iter``)."""
     cold, warm = split_match_cfg(match_cfg)
     seed = dict(warm)
     d = match_cfg.get("dilation_max_seed", 2)

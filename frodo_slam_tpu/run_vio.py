@@ -89,6 +89,8 @@ def run_dataset(args):
 
                 viewer = WebViewer(slam).start()
                 print(f"live viewer: http://127.0.0.1:{viewer.port}/")
+        if viewer is not None:
+            viewer.wait_if_paused()  # browser pause/step control channel
         slam.grab_rgb(img, timestamp=ts, odom_pose=odom_pose)
         fps_count += 1
         if fps_count == 30:

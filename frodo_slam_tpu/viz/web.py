@@ -14,6 +14,14 @@ WebGL page (no external JS libraries, works through an SSH port-forward):
                           clients refetch points only when it changes)
 - ``GET /points.bin``  — float32 [x y z conf] per point, confidence-gated
                           and subsampled world points
+- ``POST /control``    — the CONTROL channel back to the run (the
+                          reference's WindowMsg contract,
+                          ``visualization.py:88-91,130-142,305``): JSON
+                          ``{"action": "pause"|"resume"|"toggle"|"step"}``,
+                          ``{"conf_threshold": x}``, ``{"teleop": "w"}``.
+                          The main loop polls :meth:`WebViewer.wait_if_paused`
+                          once per frame; teleop keys go to an optional
+                          ``teleop_cb`` (robot mode).
 
 Usage::
 
@@ -42,7 +50,12 @@ _PAGE = """<!DOCTYPE html>
  #hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px 10px;border-radius:4px}
  canvas{display:block}
 </style></head><body>
-<div id="hud">connecting…</div><canvas id="c"></canvas>
+<div id="hud">connecting…</div>
+<div id="ctl" style="position:fixed;top:8px;right:8px;background:#0008;padding:6px 10px;border-radius:4px">
+ <button id="bp">pause</button> <button id="bs">step</button>
+ conf <input id="cf" type="range" min="0" max="10" step="0.1" style="width:90px;vertical-align:middle">
+ <span id="cfv"></span>
+</div>
 <script>
 const canvas=document.getElementById('c'),hud=document.getElementById('hud');
 const gl=canvas.getContext('webgl');
@@ -100,10 +113,27 @@ function buildLines(st){
  for(const [i,j] of st.edges){if(T[i]&&T[j])L.push(...T[i].slice(0,3),...T[j].slice(0,3));}
  gl.bindBuffer(gl.ARRAY_BUFFER,lnBuf);
  gl.bufferData(gl.ARRAY_BUFFER,new Float32Array(L),gl.DYNAMIC_DRAW);nLn=L.length/3;}
+// -- control channel (reference WindowMsg: pause/step/conf/teleop) --------
+const bp=document.getElementById('bp'),bs=document.getElementById('bs');
+const cf=document.getElementById('cf'),cfv=document.getElementById('cfv');
+function ctl(body){return fetch('control',{method:'POST',body:JSON.stringify(body)});}
+bp.onclick=()=>ctl({action:'toggle'});
+bs.onclick=()=>ctl({action:'step'});
+cf.oninput=()=>{cfv.textContent=cf.value;};
+cf.onchange=()=>ctl({conf_threshold:+cf.value});
+window.onkeydown=e=>{
+ if(e.target.tagName==='INPUT')return;
+ if(e.key===' '){ctl({action:'toggle'});e.preventDefault();}
+ else if(e.key==='n'){ctl({action:'step'});}
+ else if('wasd'.includes(e.key)){ctl({teleop:e.key});}};
+let cfInit=false;
 async function poll(){
  try{
   const st=await (await fetch('state.json')).json();
-  hud.textContent=`keyframes ${st.n_kf}  frames ${st.frames}  points ${st.n_points}  v${st.version}`;
+  hud.textContent=`keyframes ${st.n_kf}  frames ${st.frames}  points ${st.n_points}  v${st.version}`
+   +(st.paused?'  [PAUSED]':'');
+  bp.textContent=st.paused?'resume':'pause';
+  if(!cfInit){cf.value=st.conf_threshold;cfv.textContent=st.conf_threshold;cfInit=true;}
   if(st.version!==version){
    version=st.version;state=st;buildLines(st);
    const buf=await (await fetch('points.bin?v='+version)).arrayBuffer();
@@ -120,13 +150,22 @@ class WebViewer:
 
     def __init__(self, slam, port: int = 8090, host: str = "127.0.0.1",
                  conf_threshold: float = 1.5, max_points: int = 400_000,
-                 interval_s: float = 1.0):
+                 interval_s: float = 1.0, teleop_cb=None):
         self.slam = slam
         self.port = port
         self.host = host
         self.conf_threshold = conf_threshold
         self.max_points = max_points
         self.interval_s = interval_s
+        # control channel back to the run (reference WindowMsg contract,
+        # visualization.py:88-91,305): pause/step from the browser gate the
+        # main loop via wait_if_paused(); teleop keys (WASD) go to an
+        # optional callback (robot mode forwards them to the robot API)
+        self.teleop_cb = teleop_cb
+        self._paused = False
+        self._steps = 0
+        self._resume = threading.Event()
+        self._resume.set()
         self._lock = threading.Lock()
         self._version = 0
         self._last_total = -1
@@ -140,6 +179,13 @@ class WebViewer:
     # -- snapshot building (dirty-flag analogue: only on keyframe change) ---
 
     def _snapshot(self):
+        # Deliberately reads the live SLAM fields WITHOUT the backend lock:
+        # the store's device arrays are replaced whole (never mutated in
+        # place), so each read is internally consistent; at worst points and
+        # poses straddle one backend update (a one-refresh-cycle visual tear,
+        # harmless for a viewer). Taking the backend exec lock here would
+        # stall the solver at viewer refresh rate — the reference accepts the
+        # same trade under its ring-buffer lock comment (main.py:32-33).
         slam = self.slam
         total = int(slam.store.n_total)
         if total == self._last_total:
@@ -190,6 +236,54 @@ class WebViewer:
                 "edges": edges,
             }
 
+    # -- control channel ----------------------------------------------------
+
+    @property
+    def paused(self) -> bool:
+        return self._paused
+
+    def apply_control(self, msg: dict):
+        """Apply one control message (the POST /control body). Thread-safe;
+        also usable directly from embedding code/tests."""
+        action = msg.get("action")
+        with self._lock:
+            if action in ("pause", "resume", "toggle"):
+                self._paused = (
+                    not self._paused if action == "toggle" else action == "pause"
+                )
+                if self._paused:
+                    self._resume.clear()
+                else:
+                    self._steps = 0
+                    self._resume.set()
+            elif action == "step":
+                self._steps += 1
+                self._resume.set()
+            if "conf_threshold" in msg:
+                self.conf_threshold = float(msg["conf_threshold"])
+                self._last_total = -1  # force a re-snapshot with the new gate
+        if msg.get("teleop") and self.teleop_cb is not None:
+            try:
+                self.teleop_cb(str(msg["teleop"]))
+            except Exception:  # viewer must never take the SLAM down
+                pass
+
+    def wait_if_paused(self, poll_s: float = 0.05):
+        """Main-loop hook, called once per frame BEFORE processing it: blocks
+        while the browser has the run paused; a queued 'step' releases
+        exactly one frame (reference pause/next semantics,
+        visualization.py:88-91 + main.py's viz2main poll)."""
+        while not self._stop.is_set():
+            with self._lock:
+                if not self._paused:
+                    return
+                if self._steps > 0:
+                    self._steps -= 1
+                    if self._steps == 0:
+                        self._resume.clear()
+                    return
+            self._resume.wait(poll_s)
+
     # -- server -------------------------------------------------------------
 
     def _make_handler(viewer):  # noqa: N805 - handler factory
@@ -211,7 +305,10 @@ class WebViewer:
                     self._send(200, "text/html; charset=utf-8", _PAGE.encode())
                 elif path == "/state.json":
                     with viewer._lock:
-                        body = json.dumps(viewer._state).encode()
+                        st = dict(viewer._state)
+                        st["paused"] = viewer._paused
+                        st["conf_threshold"] = viewer.conf_threshold
+                        body = json.dumps(st).encode()
                     self._send(200, "application/json", body)
                 elif path == "/points.bin":
                     with viewer._lock:
@@ -219,6 +316,18 @@ class WebViewer:
                     self._send(200, "application/octet-stream", body)
                 else:
                     self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                if self.path.split("?")[0] != "/control":
+                    self._send(404, "text/plain", b"not found")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                    viewer.apply_control(msg)
+                    self._send(200, "application/json", b'{"ok": true}')
+                except Exception as e:
+                    self._send(400, "text/plain", str(e).encode())
 
         return Handler
 

@@ -158,6 +158,93 @@ def test_web_viewer_serves_state():
         v.stop()
 
 
+def test_web_viewer_control_channel():
+    """POST /control drives pause -> step -> resume of a running loop over
+    HTTP — the reference viewer's WindowMsg back-channel
+    (visualization.py:88-91,130-142,305). Also covers the conf-threshold
+    and teleop messages."""
+    import json
+    import threading
+    import time as _t
+    import types
+    import urllib.request
+
+    from frodo_slam_tpu.viz.web import WebViewer
+
+    teleops = []
+    slam = types.SimpleNamespace(
+        store=types.SimpleNamespace(n_total=0), frame_count=0,
+        backend=types.SimpleNamespace(_pairs=[]),
+    )
+    v = WebViewer(slam, port=0, interval_s=3600, teleop_cb=teleops.append)
+    v.start()
+
+    frames = [0]
+    stop = threading.Event()
+
+    def loop():  # the synthetic "SLAM main loop"
+        while not stop.is_set():
+            v.wait_if_paused()
+            frames[0] += 1
+            _t.sleep(0.002)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    try:
+        port = v._server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        def post(body):
+            req = urllib.request.Request(
+                base + "/control", data=json.dumps(body).encode(), method="POST"
+            )
+            return urllib.request.urlopen(req, timeout=10)
+
+        def state():
+            return json.loads(
+                urllib.request.urlopen(base + "/state.json", timeout=10).read()
+            )
+
+        def settled(pred, timeout=5.0):
+            deadline = _t.monotonic() + timeout
+            while _t.monotonic() < deadline:
+                if pred():
+                    return True
+                _t.sleep(0.01)
+            return False
+
+        # pause: the loop must stop making progress
+        assert post({"action": "pause"}).status == 200
+        assert state()["paused"] is True
+        assert settled(lambda: v.paused)
+        _t.sleep(0.05)  # let any in-flight frame drain
+        n0 = frames[0]
+        _t.sleep(0.15)
+        assert frames[0] == n0, "loop advanced while paused"
+
+        # step: exactly one frame is released
+        post({"action": "step"})
+        assert settled(lambda: frames[0] == n0 + 1)
+        _t.sleep(0.15)
+        assert frames[0] == n0 + 1, "step released more than one frame"
+
+        # resume: frames flow again; paused flag clears
+        post({"action": "resume"})
+        assert settled(lambda: frames[0] > n0 + 5)
+        assert state()["paused"] is False
+
+        # conf threshold + teleop messages
+        post({"conf_threshold": 3.5})
+        assert v.conf_threshold == 3.5
+        assert state()["conf_threshold"] == 3.5
+        post({"teleop": "w"})
+        assert settled(lambda: teleops == ["w"])
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        v.stop()
+
+
 def test_wheel_odometry_straight_and_spin():
     from frodo_slam_tpu.slam.odometry import WheelOdometryIntegrator, pos_yaw_to_se3
 
