@@ -1,0 +1,495 @@
+"""Fused multi-level Pallas refine: the whole coarse-to-fine pyramid with
+NO per-level XLA scatter/gather.
+
+Spec: ``refine_matches_kernel`` (reference ``matching_kernels.cu:25-125``)
+— coarse-to-fine dilated descriptor search, levels recenter at the
+per-query best. The per-level XLA formulations (ops/matching.py shift,
+ops/refine_pallas_tile.py kernel) pay a 147k-row SCATTER (re-seed the
+query plane at the new centers, ~3 ms) plus a 147k-row GATHER (read the
+winners back, ~2.5 ms) per level — row-granular data movement the TPU
+runs ~250x below HBM speed (PERF.md "Known costs and floors").
+
+Here the recentring stays ON DEVICE in image space:
+
+- ONE XLA scatter seeds the query payload plane at the initial centers
+  (desc + qid digits + validity; the initial displacement is unbounded,
+  so this scatter is irreducible);
+- per level, a *correlation* kernel scores the (2r+1)^2 dilated offsets
+  per pixel (streaming VPU dots, slab layout of refine_pallas_tile) and
+  writes the winning (du, dv) into two payload channels;
+- a *pull-relocation* kernel then moves every payload to its new center:
+  for target pixel p and probe offset o, the source q = p - o moved here
+  iff its recorded winning offset equals o — 49 statically-shifted masked
+  selects, the exact dual of the correlation's 49 shifted dots; the first
+  matching probe wins a contested pixel, and the winning probe's index is
+  recorded in a payload channel. The per-level displacement is bounded by
+  the probe reach, which is what makes relocation expressible as static
+  shifts (the initial scatter is not, which is why it stays in XLA);
+- a *replant* kernel restores contested-pixel LOSERS to their old pixel
+  (a source q lost iff the recorded winner index at its destination
+  q + o is not q's own probe) when nobody relocated onto that pixel —
+  reproducing the per-level XLA formulations' semantics, where a
+  collision loser keeps its center and resumes refining at the next
+  level. Loser detection is again 49 static shifts: q's destination
+  offset is q's own recorded probe, enumerable over the window;
+- after the last level, ONE gather-free readout (the payload's qid says
+  who ended where) plus ONE XLA scatter maps pixel-space winners back to
+  per-query results.
+
+Collision semantics (documented divergence): like the per-level XLA
+formulations, a contested pixel keeps exactly one payload per level and
+the loser stays at its previous center with its running score (genuine
+descriptor dots at genuine probe positions; the caller's seed guarantees
+at least the center score). The only difference is WHICH contender wins
+(probe-scan order here vs scatter order there) and the rare eviction of a
+stationary payload by an incoming one — both inside the same
+"collision keeps one" contract.
+
+Layout: payload plane (b, hp, F_PAD, wlh) — image rows on the LEADING
+(untiled) axis padded by a whole row-block per side (so the kernels see
+every halo row without clamp gymnastics), channels on sublanes, width on
+128-lanes padded by 128 per side (>= the probe reach, and a legal DMA
+offset). Channels: [0:f) descriptor, [f:f+3) qid base-256 digits,
+f+3 validity, f+4 winning du, f+5 winning dv, f+6 the target-pixel winner
+probe index — all exactly representable in bf16.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F_PAD = 32  # payload channels padded to a full sublane group
+LANE_PAD = 128  # query-plane lane halo: >= max probe reach, legal DMA offset
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _corr_pads(h: int, w: int, rd_max: int):
+    """Padded descriptor-image geometry (same rules as refine_pallas_tile):
+    row pads cover the probe reach in 8-multiples, width a 128-multiple."""
+    hp = h + 2 * _round_up(rd_max, 8)
+    wp = _round_up(w + 2 * _round_up(rd_max, 16), 128)
+    return (hp - h) // 2, (wp - w) // 2, hp, wp
+
+
+def _corr_mark_kernel(d_hbm, q_ref, qa_ref, d_vmem, sem, *, offsets, n_desc,
+                      th, h, w, pad_v, pad_t, pad_l, hp_d, slab_h):
+    """Correlation + winner marking for one (batch, row-block) grid step.
+
+    d_hbm:  (b, hp_d, F_PAD, wp) ANY — zero-padded descriptor image.
+    q_ref:  (1, th, F_PAD, wlh) VMEM — query-plane row block (padded layout).
+    qa_ref: (1, th, F_PAD, wlh) VMEM out — q with channels n_desc+4/+5 set
+            to the winning (du, dv) on interior lanes (best probe over the
+            level's dilated window, per pixel; probes outside the image are
+            masked, and the center (0,0) probe is part of the window, so
+            the winner's score is always >= the current center score).
+    d_vmem: (slab_h, F_PAD, wp) VMEM scratch — banded descriptor slab
+            covering this row block's probe reach.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = i * th - pad_v  # global image row of this block's first row
+
+    # banded D slab: rows [pad_t + row0 - rd, ... + th + rd) of the padded
+    # image. In-bounds for interior blocks by construction; for pad blocks
+    # the clamp protects memory (their results are dead: valid == 0).
+    radius, dilation, dus = offsets
+    rd = radius * dilation
+    slab0 = jnp.clip(pad_t + row0 - rd, 0, hp_d - slab_h)
+    cp = pltpu.make_async_copy(
+        d_hbm.at[bi, pl.ds(slab0, slab_h)], d_vmem, sem
+    )
+    cp.start()
+    cp.wait()
+
+    qi = q_ref[0, :, :, pl.ds(LANE_PAD, w)]
+    q = qi.astype(jnp.float32)  # (th, F, w)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + row0
+    xs = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    neg = jnp.float32(-3.0e38)
+
+    # running best carried IN the payload (offset-from-home + score; the
+    # scatter seeds it with the (0,0) center score): the scan below starts
+    # from it, so the marked result is monotone across levels exactly like
+    # the shift formulation's per-query running max — a probe must be
+    # STRICTLY better to replace it (no tie stampede on flat landscapes)
+    best_du = q[:, n_desc + 4, :].astype(jnp.int32)
+    best_dv = q[:, n_desc + 5, :].astype(jnp.int32)
+    best_s = q[:, n_desc + 7, :]
+
+    def dv_body(t, state):
+        best_s, best_du, best_dv = state
+        dv = (t - radius) * dilation
+        # probe rows in slab coords: (pad_t + row0 + dv) - slab0
+        r = jnp.clip(pad_t + row0 + dv - slab0, 0, slab_h - th)
+        rows = d_vmem[pl.ds(r, th), :, :]  # (th, F, wp)
+        row_ok = (ys + dv >= 0) & (ys + dv < h)
+        for du in dus:  # static lane offsets
+            probe = rows[:, :, pad_l + du : pad_l + du + w]
+            s = jnp.sum(q * probe.astype(jnp.float32), axis=1)  # (th, w)
+            inside = row_ok & (xs + du >= 0) & (xs + du < w)
+            s = jnp.where(inside, s, neg)
+            better = s > best_s
+            best_s = jnp.where(better, s, best_s)
+            best_du = jnp.where(better, du, best_du)
+            best_dv = jnp.where(better, dv, best_dv)
+        return best_s, best_du, best_dv
+
+    best_s, best_du, best_dv = jax.lax.fori_loop(
+        0, 2 * radius + 1, dv_body, (best_s, best_du, best_dv)
+    )
+
+    qa_ref[0] = q_ref[0]
+    dt = q_ref.dtype
+    qa_ref[0, :, n_desc + 4, pl.ds(LANE_PAD, w)] = best_du.astype(dt)
+    qa_ref[0, :, n_desc + 5, pl.ds(LANE_PAD, w)] = best_dv.astype(dt)
+    qa_ref[0, :, n_desc + 7, pl.ds(LANE_PAD, w)] = best_s.astype(dt)
+
+
+def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
+                     h, w, pad_v, n_blocks, slab_h):
+    """Pull-relocation for one (batch, row-block) grid step.
+
+    For every target pixel p and probe offset o, the source q = p - o
+    relocates here iff q's recorded winning offset equals o and q holds a
+    live payload; the first matching probe (the correlation's own scan
+    order) wins a conflict, the loser is dropped (module docstring).
+
+    qa_hbm: (b, hp, F_PAD, wlh) ANY — marked query plane (_corr_mark).
+    qn_ref: (1, th, F_PAD, wlh) VMEM out — relocated plane; row-pad blocks
+            and lane pads are written zero (keeps the layout's invariant:
+            pads carry no live payload).
+    q_vmem: (slab_h, F_PAD, wlh) VMEM scratch — row band + probe halo.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    radius, dilation, dus = offsets
+    rd = radius * dilation
+
+    interior = (i * th >= pad_v) & ((i + 1) * th <= pad_v + h)
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        qn_ref[0] = jnp.zeros_like(qn_ref[0])
+
+    @pl.when(interior)
+    def _():
+        # slab rows [i*th - rd, i*th + th + rd): in-bounds, pad_v >= rd
+        cp = pltpu.make_async_copy(
+            qa_hbm.at[bi, pl.ds(i * th - rd, slab_h)], q_vmem, sem
+        )
+        cp.start()
+        cp.wait()
+
+        n_side = 2 * radius + 1
+
+        def dv_body(t, state):
+            acc, filled, widx = state
+            dv = (t - radius) * dilation
+            # source rows for this block's targets: slab offset rd - dv
+            rows = q_vmem[pl.ds(rd - dv, th), :, :]  # (th, F, wlh)
+            for j, du in enumerate(dus):
+                # target lane x (interior) pulls source lane x - du:
+                # padded-lane slice start LANE_PAD - du (static)
+                src = rows[:, :, LANE_PAD - du : LANE_PAD - du + w]
+                ok = (
+                    (src[:, n_desc + 3, :] > 0.5)  # live payload
+                    & (src[:, n_desc + 4, :] == du)
+                    & (src[:, n_desc + 5, :] == dv)
+                    & jnp.logical_not(filled)
+                )
+                acc = jnp.where(ok[:, None, :], src, acc)
+                widx = jnp.where(ok, t * n_side + j, widx)
+                filled = filled | ok
+            return acc, filled, widx
+
+        acc, _, widx = jax.lax.fori_loop(
+            0, n_side, dv_body,
+            (
+                jnp.zeros((th, F_PAD, w), q_vmem.dtype),
+                jnp.zeros((th, w), jnp.bool_),
+                jnp.full((th, w), -1, jnp.int32),
+            ),
+        )
+        # rebase the relocated payload: its carried best offset is now its
+        # own pixel (the score channel keeps the value it moved for)
+        acc = acc.at[:, n_desc + 4, :].set(jnp.zeros((th, w), acc.dtype))
+        acc = acc.at[:, n_desc + 5, :].set(jnp.zeros((th, w), acc.dtype))
+        # record the contested-pixel winner's probe index for the replant
+        # pass (exact small ints in bf16; -1 = nobody relocated here)
+        acc = acc.at[:, n_desc + 6, :].set(widx.astype(acc.dtype))
+        qn_ref[0] = jnp.zeros_like(qn_ref[0])
+        qn_ref[0, :, :, pl.ds(LANE_PAD, w)] = acc
+
+
+def _replant_kernel(qn_hbm, qa_ref, ghost_ref, qf_ref, gout_ref, qn_vmem, sem,
+                    *, offsets, n_desc, th, h, w, pad_v, slab_h):
+    """Contested-pixel loser replant for one (batch, row-block) grid step.
+
+    A source q relocated iff the winner probe index recorded at its
+    destination q + o_q equals q's own probe — 49 static shifted reads of
+    the index channel (o_q enumerates the window). A loser whose pixel was
+    not claimed by an incoming payload stays home and resumes refining next
+    level (the per-level XLA formulations' collision semantics); a loser
+    whose pixel WAS claimed dies, and its payload — which carries its
+    intended destination (du/dv channels) and that probe's score — is
+    recorded in the GHOST plane at its death pixel. Dense matching is
+    many-to-one: the ghost is how an evicted query still reports the match
+    it found instead of falling back to its seed.
+
+    qa_ref: (1, th, F_PAD, wlh) VMEM — the MARKED plane (corr output: who
+            sat here, which probe it chose, that probe's score).
+    qn_hbm: (b, hp, F_PAD, wlh) ANY — the relocated plane (R1 output).
+    ghost_ref: (1, th, F_PAD, wlh) VMEM — ghost plane accumulated so far.
+    qf_ref, gout_ref: (1, th, F_PAD, wlh) VMEM out — final live plane and
+            updated ghost plane for this level.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    radius, dilation, dus = offsets
+    rd = radius * dilation
+    n_side = 2 * radius + 1
+
+    interior = (i * th >= pad_v) & ((i + 1) * th <= pad_v + h)
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        qf_ref[0] = jnp.zeros_like(qf_ref[0])
+        gout_ref[0] = jnp.zeros_like(gout_ref[0])
+
+    @pl.when(interior)
+    def _():
+        cp = pltpu.make_async_copy(
+            qn_hbm.at[bi, pl.ds(i * th - rd, slab_h)], qn_vmem, sem
+        )
+        cp.start()
+        cp.wait()
+
+        own = qa_ref[0, :, :, pl.ds(LANE_PAD, w)]  # (th, F, w)
+        own_valid = own[:, n_desc + 3, :] > 0.5
+        odu = own[:, n_desc + 4, :]
+        odv = own[:, n_desc + 5, :]
+
+        won = jnp.zeros((th, w), jnp.bool_)
+        for t in range(n_side):
+            dv = (t - radius) * dilation
+            # winner-index channel at target rows s + dv (static offsets)
+            wrow = qn_vmem[pl.ds(rd + dv, th), n_desc + 6, :]  # (th, wlh)
+            for j, du in enumerate(dus):
+                wch = wrow[:, LANE_PAD + du : LANE_PAD + du + w]
+                won = won | (
+                    (odu == du) & (odv == dv) & (wch == t * n_side + j)
+                )
+
+        center = qn_vmem[pl.ds(rd, th), :, pl.ds(LANE_PAD, w)]  # (th, F, w)
+        occupied = center[:, n_desc + 3, :] > 0.5
+        lost = own_valid & jnp.logical_not(won)
+        replant = lost & jnp.logical_not(occupied)
+        death = lost & occupied
+        qf_ref[0] = jnp.zeros_like(qf_ref[0])
+        qf_ref[0, :, :, pl.ds(LANE_PAD, w)] = jnp.where(
+            replant[:, None, :], own, center
+        )
+        gout_ref[0] = jnp.zeros_like(gout_ref[0])
+        gout_ref[0, :, :, pl.ds(LANE_PAD, w)] = jnp.where(
+            death[:, None, :], own, ghost_ref[0, :, :, pl.ds(LANE_PAD, w)]
+        )
+
+
+def _level(Qp, Ghost, Dp, *, radius, dilation, n_desc, h, w, pad_v, interpret,
+           last=False):
+    """One pyramid level: correlation+mark, then (except on the last level,
+    whose marks ARE the result — no payload needs to move again)
+    pull-relocation and loser replant. All kernels grid over (batch,
+    padded-row blocks); everything stays in HBM between them — no
+    host-visible data movement."""
+    b, hp, f, wlh = Qp.shape
+    hp_d, wp = Dp.shape[1], Dp.shape[3]
+    pad_t, pad_l = (hp_d - h) // 2, (wp - w) // 2
+    th = 16 if hp % 16 == 0 else 8
+    rd = radius * dilation
+    offsets = (radius, dilation,
+               tuple(du * dilation for du in range(-radius, radius + 1)))
+    grid = (b, hp // th)
+    block = pl.BlockSpec((1, th, F_PAD, wlh), lambda bi, i: (bi, i, 0, 0))
+
+    corr = partial(
+        _corr_mark_kernel, offsets=offsets, n_desc=n_desc, th=th, h=h, w=w,
+        pad_v=pad_v, pad_t=pad_t, pad_l=pad_l, hp_d=hp_d, slab_h=th + 2 * rd,
+    )
+    Qa = pl.pallas_call(
+        corr,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(Qp.shape, Qp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * rd, F_PAD, wp), Dp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Dp, Qp)
+    if last:
+        return Qa, Ghost
+
+    reloc = partial(
+        _relocate_kernel, offsets=offsets, n_desc=n_desc, th=th, h=h, w=w,
+        pad_v=pad_v, n_blocks=hp // th, slab_h=th + 2 * rd,
+    )
+    Qn = pl.pallas_call(
+        reloc,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(Qp.shape, Qp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * rd, F_PAD, wlh), Qp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Qa)
+
+    replant = partial(
+        _replant_kernel, offsets=offsets, n_desc=n_desc, th=th, h=h, w=w,
+        pad_v=pad_v, slab_h=th + 2 * rd,
+    )
+    return pl.pallas_call(
+        replant,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), block, block],
+        out_specs=[block, block],
+        out_shape=[
+            jax.ShapeDtypeStruct(Qp.shape, Qp.dtype),
+            jax.ShapeDtypeStruct(Qp.shape, Qp.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * rd, F_PAD, wlh), Qp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Qn, Qa, Ghost)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "dtype", "interpret"))
+def refine_matches_fused(
+    D11: jax.Array,
+    D21: jax.Array,
+    p1: jax.Array,
+    radius: int = 3,
+    dilation_max: int = 5,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    center_desc=None,
+):
+    """Coarse-to-fine dilated descriptor search, fused-pyramid kernel chain.
+
+    Contract of :func:`frodo_slam_tpu.ops.matching.refine_matches_shift`
+    (spec ``matching_kernels.cu:25-125``); collision-loser truncation is
+    one-shot instead of per-level (module docstring).
+
+    D11: (b, h, w, f) keyframe descriptor image. D21: (b, n, f) queries,
+    n == h*w. p1: (b, n, 2) int initial centers (in-image).
+    Returns p1_new (b, n, 2) int32, max_scores (b, n) f32.
+    """
+    b, h, w, f = D11.shape
+    hw = h * w
+    assert f + 8 <= F_PAD, f
+
+    u0 = p1[..., 0].astype(jnp.int32)
+    v0 = p1[..., 1].astype(jnp.int32)
+    if center_desc is None:
+        flat = D11.reshape(b, hw, f)
+        center_desc = jnp.take_along_axis(flat, (v0 * w + u0)[..., None], axis=1)
+    seed_score = jnp.einsum(
+        "bnf,bnf->bn", center_desc.astype(dtype), D21.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+    # padded channel-sublane descriptor image, shared by all levels
+    rd_max = radius * dilation_max
+    pad_t, pad_l, hp_d, wp = _corr_pads(h, w, rd_max)
+    Dcs = jnp.transpose(D11.astype(dtype), (0, 1, 3, 2))  # (b, h, f, w)
+    Dp = jnp.pad(
+        Dcs,
+        ((0, 0), (pad_t, hp_d - h - pad_t), (0, F_PAD - f),
+         (pad_l, wp - w - pad_l)),
+    )
+
+    # payload: desc + qid digits (base-256, exact in bf16) + validity; the
+    # du/dv marker channels start zero and are (re)written by every level
+    D21c = D21.astype(dtype)
+    qid = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
+    qid3 = jnp.stack(
+        [qid % 256, (qid // 256) % 256, qid // 65536], axis=-1
+    ).astype(dtype)
+    ones = jnp.ones((b, hw, 1), dtype)
+    zeros3 = jnp.zeros((b, hw, 3), dtype)  # marked du, dv, widx
+    pad_q = jnp.zeros((b, hw, F_PAD - f - 8), dtype)
+    payload = jnp.concatenate(
+        [D21c, qid3, ones, zeros3, seed_score[..., None].astype(dtype), pad_q],
+        axis=-1,
+    )
+
+    # the ONE unavoidable scatter: initial centers are unbounded
+    bi = jnp.arange(b)[:, None]
+    uc = jnp.clip(u0, 0, w - 1)
+    vc = jnp.clip(v0, 0, h - 1)
+    Qcl = jnp.zeros((b, h, w, F_PAD), dtype).at[bi, vc, uc].set(payload)
+    Qcs = jnp.transpose(Qcl, (0, 1, 3, 2))  # (b, h, F_PAD, w)
+
+    th = 16 if h % 16 == 0 else 8
+    pad_v = _round_up(rd_max, th)
+    Qp = jnp.pad(
+        Qcs, ((0, 0), (pad_v, pad_v), (0, 0), (LANE_PAD, LANE_PAD))
+    )
+
+    Ghost = jnp.zeros_like(Qp)
+    for d in range(dilation_max, 0, -1):
+        Qp, Ghost = _level(
+            Qp, Ghost, Dp, radius=radius, dilation=d, n_desc=f, h=h, w=w,
+            pad_v=pad_v, interpret=interpret, last=(d == 1),
+        )
+
+    def plane_results(P):
+        """(valid, qid, u, v, score) per pixel: every payload's result is
+        its home pixel plus its carried best offset, at its carried score
+        — identical readout for live payloads and ghosts."""
+        Pi = P[:, pad_v : pad_v + h, :, LANE_PAD : LANE_PAD + w]
+        valid = (Pi[:, :, f + 3, :] > 0.5).reshape(b, hw)
+        qid_p = (
+            Pi[:, :, f, :].astype(jnp.int32)
+            + 256 * Pi[:, :, f + 1, :].astype(jnp.int32)
+            + 65536 * Pi[:, :, f + 2, :].astype(jnp.int32)
+        ).reshape(b, hw)
+        uu = xs + Pi[:, :, f + 4, :].reshape(b, hw).astype(jnp.int32)
+        vv = ys + Pi[:, :, f + 5, :].reshape(b, hw).astype(jnp.int32)
+        sc = Pi[:, :, f + 7, :].reshape(b, hw).astype(jnp.float32)
+        return valid, qid_p, uu, vv, sc
+
+    xs = jnp.broadcast_to(
+        (jnp.arange(hw, dtype=jnp.int32) % w)[None], (b, hw))
+    ys = jnp.broadcast_to(
+        (jnp.arange(hw, dtype=jnp.int32) // w)[None], (b, hw))
+    seeds = jnp.stack(
+        [u0.astype(jnp.float32), v0.astype(jnp.float32), seed_score], axis=-1)
+
+    # ghosts first (an evicted payload's best-so-far), then live payloads
+    # (refined through every level); initial-scatter losers keep seeds
+    out = seeds
+    for P in (Ghost, Qp):
+        valid, qid_p, uu, vv, sc = plane_results(P)
+        vals = jnp.stack(
+            [uu.astype(jnp.float32), vv.astype(jnp.float32), sc], axis=-1)
+        tgt = jnp.where(valid, qid_p, hw)  # hw: out-of-bounds -> dropped
+        out = out.at[bi, tgt].set(vals, mode="drop")
+
+    p_new = out[..., :2].astype(jnp.int32)
+    return p_new, out[..., 2]

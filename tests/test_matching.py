@@ -265,6 +265,142 @@ def test_refine_matches_pallas_tile_matches_shift():
     np.testing.assert_allclose(np.asarray(ss), np.asarray(sp), atol=2e-2)
 
 
+def test_refine_matches_fused_identity_exact():
+    """Fused-pyramid kernel chain (ops/refine_fused_pallas.py), interpret
+    mode: on the collision-free self-match (centers = own pixel, queries =
+    the image's own descriptors) nothing moves and the result equals the
+    gather oracle exactly — every query's best probe is itself."""
+    from frodo_slam_tpu.ops.refine_fused_pallas import refine_matches_fused
+
+    rng = np.random.default_rng(8)
+    h, w, f = 16, 32, 8
+    D11 = rng.normal(size=(1, h, w, f)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    n = h * w
+    p1 = np.stack([np.arange(n) % w, np.arange(n) // w], axis=-1)[None]
+    D21 = D11.reshape(1, n, f)
+
+    pg, sg = matching.refine_matches_gather(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p1),
+        radius=2, dilation_max=3,
+    )
+    pf, sf = refine_matches_fused(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p1),
+        radius=2, dilation_max=3, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pf), np.asarray(pg))
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sg), atol=2e-2)
+
+
+def test_refine_matches_fused_many_to_one():
+    """The plane representation must not break MANY-TO-ONE matching: a
+    query whose best probe is another query's (stationary) center still
+    reports that destination — via the carried-best readout (and the ghost
+    plane when evicted mid-pyramid)."""
+    from frodo_slam_tpu.ops.refine_fused_pallas import refine_matches_fused
+
+    h, w, f = 16, 32, 8
+    D11 = np.zeros((1, h, w, f), np.float32)
+    D11[0, 5, 5, 0] = 0.5   # q0's seeded center
+    D11[0, 5, 6, 0] = 1.0   # q0's true peak — another query's home pixel
+    n = h * w
+    D21 = np.zeros((1, n, f), np.float32)
+    D21[0, 0, 0] = 1.0
+    p = np.stack([np.arange(n) % w, np.arange(n) // w], -1)[None].astype(np.int32)
+    p[0, 0] = [5, 5]
+    p[0, 5 * w + 5] = [0, 0]  # keep seeds injective
+
+    pf, sf = refine_matches_fused(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=1, dilation_max=1, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pf)[0, 0], [6, 5])
+    np.testing.assert_allclose(float(np.asarray(sf)[0, 0]), 1.0, atol=2e-2)
+
+
+def test_refine_matches_fused_injective_seeds_match_shift():
+    """Injective seeds (a uniform in-image wrap-shift of the pixel grid),
+    random descriptor landscape: the fused pyramid must agree with the
+    per-level shift formulation on a large majority of queries and at
+    equal match quality. Exact parity is not expected — mid-pyramid
+    contests resolve by probe order here vs scatter order there, and the
+    divergent picks are equal-quality alternates (asserted via the mean
+    score)."""
+    from frodo_slam_tpu.ops.refine_fused_pallas import refine_matches_fused
+
+    rng = np.random.default_rng(9)
+    b, h, w, f = 2, 16, 32, 24
+    D11 = rng.normal(size=(b, h, w, f)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    D21 = rng.normal(size=(b, h * w, f)).astype(np.float32)
+    D21 /= np.linalg.norm(D21, axis=-1, keepdims=True)
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    grid = np.stack([uu.ravel(), vv.ravel()], -1)[None].repeat(b, 0)
+    p = np.stack(
+        [(grid[..., 0] + 2) % w, (grid[..., 1] + 1) % h], -1
+    ).astype(np.int32)
+
+    pf, sf = refine_matches_fused(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=2, dilation_max=3, interpret=True,
+    )
+    ps, ss = matching.refine_matches_shift(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=2, dilation_max=3,
+    )
+    same = (np.asarray(ps) == np.asarray(pf)).all(-1)
+    assert same.mean() > 0.7, same.mean()
+    # equal match quality where they diverge: mean scores within bf16 dot
+    # tolerance of each other
+    assert abs(np.asarray(sf).mean() - np.asarray(ss).mean()) < 0.02
+
+
+def test_refine_matches_fused_collision_semantics():
+    """Worst-case collision regime (iid +-2 center perturbation: ~1/3 of
+    queries contest a pixel): fused results keep the contract — every score
+    is a genuine descriptor dot at the returned pixel, >= the center seed,
+    within the pyramid reach — and collision losers degrade to their seed
+    (one-shot truncation, module docstring) rather than to wrong answers.
+    Real matcher flows are near-injective; this regime bounds the damage."""
+    from frodo_slam_tpu.ops.refine_fused_pallas import refine_matches_fused
+
+    rng = np.random.default_rng(9)
+    b, h, w, f = 2, 16, 32, 24
+    D11 = rng.normal(size=(b, h, w, f)).astype(np.float32)
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
+    D21 = rng.normal(size=(b, h * w, f)).astype(np.float32)
+    D21 /= np.linalg.norm(D21, axis=-1, keepdims=True)
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    p = np.stack([uu.ravel(), vv.ravel()], -1)[None].repeat(b, 0)
+    p = np.clip(p + rng.integers(-2, 3, p.shape), 0, [w - 1, h - 1]).astype(np.int32)
+
+    pf, sf = refine_matches_fused(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=2, dilation_max=3, interpret=True,
+    )
+    pf0, sf0 = np.asarray(pf), np.asarray(sf)
+    # genuine scores at the returned pixels (bf16 probe tolerance)
+    for k in range(b):
+        true_sc = (D11[k][pf0[k, :, 1], pf0[k, :, 0]] * D21[k]).sum(-1)
+        np.testing.assert_allclose(sf0[k], true_sc, atol=2e-2)
+        center = (D11[k][p[k, :, 1], p[k, :, 0]] * D21[k]).sum(-1)
+        assert (sf0[k] >= center - 2e-2).all()
+    reach = 2 * (3 + 2 + 1)
+    assert (np.abs(pf0 - p) <= reach).all()
+
+    # survivors refine like the shift formulation; initial-scatter losers
+    # keep seeds. Position agreement tracks the survivor fraction —
+    # require a clear majority even in this worst case.
+    ps, ss = matching.refine_matches_shift(
+        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
+        radius=2, dilation_max=3,
+    )
+    same = (np.asarray(ps) == pf0).all(-1)
+    assert same.mean() > 0.6, same.mean()
+    np.testing.assert_allclose(
+        sf0[same], np.asarray(ss)[same], atol=2e-2)
+
+
 def test_img_gradient_matches_conv():
     rng = np.random.default_rng(5)
     img = rng.normal(size=(1, 9, 11, 3)).astype(np.float32)
@@ -307,6 +443,29 @@ def test_match_end_to_end_identity():
     interior = np.zeros((h, w), bool)
     interior[1:-1, 1:-1] = True
     assert np.asarray(valid[0])[interior.reshape(-1), 0].mean() > 0.95
+
+
+def test_match_end_to_end_fused_agrees_with_shift():
+    """Full matcher (iter_proj + occlusion gate + refine) with
+    refine_impl='fused' vs the shift default on a consistent scene — the
+    pipeline-level check that the fused pyramid's collision semantics do
+    not degrade real (near-injective, peaked-landscape) flows."""
+    h, w = 12, 16
+    X = make_scene(h, w, 7)
+    rng = np.random.default_rng(8)
+    D = rng.normal(size=(h, w, 8)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    args = (
+        jnp.asarray(X)[None], jnp.asarray(X)[None],
+        jnp.asarray(D)[None], jnp.asarray(D)[None],
+    )
+    kw = dict(radius=2, dilation_max=3, dist_thresh=0.5,
+              ft_matching_threshold=0.8)
+    idx_s, valid_s = matching.match(*args, refine_impl="shift", **kw)
+    idx_f, valid_f = matching.match(*args, refine_impl="fused", **kw)
+    agree = (np.asarray(idx_s) == np.asarray(idx_f)).mean()
+    assert agree > 0.97, agree
+    assert abs(np.asarray(valid_f).mean() - np.asarray(valid_s).mean()) < 0.02
 
 
 def test_split_match_cfg_warm_reach():
