@@ -160,6 +160,11 @@ def default_config() -> Dict[str, Any]:
                 # task queue — the frontend never blocks on the backend
                 # (reference semantics, vio.py:109-115; system.py:212-224)
                 "backend_queue_max": 8,
+                # reference-exact per-frame KF pointmap write-back (the
+                # reference fuses every frame, tracker.py:325-328); default
+                # keyframe-rate — oracle-ATE-identical and ~4 store copies
+                # per frame cheaper (PERF.md round 4)
+                "kf_sync_per_frame": False,
             },
         }
     )

@@ -223,6 +223,14 @@ class SLAM:
         # backend checks RELOC mode before popping tasks, vio.py:102-107)
         self._backend_exec_lock = threading.Lock()
         self._half_reuse = bool(cfg.tpu.get("consecutive_half_reuse", True))
+        # per-frame keyframe pointmap write-back (the reference fuses the
+        # tracked frame into the store EVERY frame, tracker.py:325-328;
+        # default here is keyframe-rate — one frame of fusion behind —
+        # because an eager .at[slot].set on the 300-slot store copies the
+        # whole buffer per channel: ~4 extra device copies per frame.
+        # Oracle A/B (PERF.md round 4): ATE-identical on the straight
+        # harness; knob preserved for parity experiments.
+        self._kf_sync_per_frame = bool(cfg.tpu.get("kf_sync_per_frame", False))
         self._backend_worker: Optional[threading.Thread] = None
         self._map_epoch = 0  # bumped on reset(); stale backend merges are dropped
 
@@ -404,6 +412,19 @@ class SLAM:
         ok = bool(flags[1] > 0)
         new_kf = bool(flags[2] > 0)
         used_fnn = bool(flags[19] > 0)
+        if ok and not new_kf and self._kf_sync_per_frame:
+            with self._backend_lock:
+                # reference-exact per-frame write-back of the active KF's
+                # fused pointmap (tracker.py:325-328); opt-in, see __init__
+                slot = self.store.last_slot()
+                kf_now = self.active_kf
+                self.store = dataclasses.replace(
+                    self.store,
+                    X_canon=self.store.X_canon.at[slot].set(kf_now.X_canon),
+                    C=self.store.C.at[slot].set(kf_now.C),
+                    N=self.store.N.at[slot].set(kf_now.N),
+                    N_updates=self.store.N_updates.at[slot].set(kf_now.N_updates),
+                )
         if new_kf:
             with self._backend_lock:
                 # sync the outgoing keyframe's fused pointmap into the store

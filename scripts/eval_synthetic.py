@@ -348,8 +348,12 @@ def run(n_frames=40, noise=0.003, single_thread=True, out_dir=None,
         # a deliberate stress), so the reference 0.333 threshold would
         # keyframe every frame; 0.15 keeps most frames warm-started —
         # exercising dilation_max_warm/max_iter_warm — and the ATE is
-        # computed over every tracked frame's frontend pose instead
-        tracking_over["match_frac_thresh"] = 0.15
+        # computed over every tracked frame's frontend pose instead.
+        # FRODO_SYNTH_KF_THRESH picks an intermediate cadence (several
+        # keyframes with warm frames between them — the regime where the
+        # per-frame vs keyframe-rate store write-back can differ)
+        tracking_over["match_frac_thresh"] = float(
+            os.environ.get("FRODO_SYNTH_KF_THRESH", 0.15))
     cfg = make_config(
         tracking=tracking_over,
         local_opt={"Q_conf": 0.0, "min_match_frac": 0.0, "max_iters": 6},
@@ -414,6 +418,10 @@ def _synth_tpu_overrides():
     over = {}
     if os.environ.get("FRODO_SYNTH_HALF") is not None:
         over["consecutive_half_reuse"] = bool(int(os.environ["FRODO_SYNTH_HALF"]))
+    if os.environ.get("FRODO_SYNTH_KF_SYNC") is not None:
+        # 1 = reference-exact per-frame keyframe pointmap write-back
+        # (system.py kf_sync_per_frame); 0/absent = keyframe-rate default
+        over["kf_sync_per_frame"] = bool(int(os.environ["FRODO_SYNTH_KF_SYNC"]))
     return over
 
 
