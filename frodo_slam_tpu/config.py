@@ -153,6 +153,12 @@ def default_config() -> Dict[str, Any]:
                 "ba_opt_window": 32,  # dense-GN pose window capacity
                 "match_chunks": 16,  # HW chunking for matcher memory
                 "mesh": {"dp": 1, "tp": 1},
+                # multi-chip placement: "overlap" reserves device 0 for the
+                # per-frame tracker and runs the backend's mesh on the
+                # remaining chips (the reference's backend-on-second-GPU,
+                # run_vio.py:111-114); "shared" meshes the backend over all
+                # devices (parallel/mesh.py:default_mesh)
+                "placement": "overlap",
                 # reuse the tracker's half of the consecutive pair
                 # decode+match in the backend (see configs/base.yaml)
                 "consecutive_half_reuse": True,

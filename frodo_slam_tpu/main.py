@@ -76,7 +76,7 @@ def run(args) -> dict:
     # TPU way — one program over ICI instead of a second model copy)
     from .parallel.mesh import default_mesh
 
-    mesh = default_mesh()
+    mesh = default_mesh(str(cfg["tpu"].get("placement", "overlap")))
 
     slam = SLAM(
         cfg, params, model_cfg, (h, w), calib=calib, retrieval_db=retrieval,

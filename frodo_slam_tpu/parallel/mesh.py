@@ -29,12 +29,31 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
-def default_mesh():
-    """(dp, tp) mesh over all local devices, or None on a single chip —
-    the auto layout the CLIs hand to ``SLAM(mesh=...)``."""
+def default_mesh(placement: str = "overlap"):
+    """The backend's (dp, tp) mesh, or None on a single chip — the auto
+    layout the CLIs hand to ``SLAM(mesh=...)``.
+
+    ``placement`` (config ``tpu.placement``):
+
+    - ``"overlap"`` (default): the backend mesh covers devices[1:] and the
+      per-frame tracker keeps device 0 to itself — the TPU-native analogue
+      of the reference's backend-on-second-GPU split (run_vio.py:111-114).
+      The tracker's params stay unsharded on device 0 (SLAM never shards
+      them); the backend holds its own tp-sharded copy on its mesh (the
+      reference also loads a second model copy per GPU, vio.py:79,199), so
+      keyframe-rate decode/match/BA dispatches run on their own chips'
+      streams and never stall the per-frame path.
+    - ``"shared"``: one mesh over ALL devices (backend work interleaves
+      with tracking on device 0 — more chips per backend op, but the
+      per-frame stream pays the backend burst).
+    """
     n = len(jax.devices())
     if n <= 1:
         return None
+    if placement == "overlap" and n >= 2:
+        rest = jax.devices()[1:]
+        tp = 2 if len(rest) % 2 == 0 else 1
+        return make_mesh(dp=len(rest) // tp, tp=tp, devices=rest)
     tp = 2 if n % 2 == 0 else 1
     return make_mesh(dp=n // tp, tp=tp)
 

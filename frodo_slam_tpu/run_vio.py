@@ -83,7 +83,7 @@ def run_dataset(args):
                         retrieval_db=retrieval,
                         use_backend=True, use_reloc=retrieval is not None,
                         single_thread=bool(cfg["single_thread"]),
-                        local_opt_mode=args.use_odometry, mesh=default_mesh())
+                        local_opt_mode=args.use_odometry, mesh=default_mesh(str(cfg["tpu"].get("placement", "overlap"))))
             if args.visualize:
                 from .viz.web import WebViewer
 
@@ -143,7 +143,7 @@ def run_robot(args):  # pragma: no cover - hardware
                             retrieval_db=retrieval,
                             use_backend=True, use_reloc=retrieval is not None,
                             single_thread=False, local_opt_mode=True,
-                            mesh=default_mesh())
+                            mesh=default_mesh(str(cfg["tpu"].get("placement", "overlap"))))
                 if args.visualize:
                     from .viz.web import WebViewer
 
