@@ -82,8 +82,12 @@ def _invert_match(idx_j2i, valid_match_i):
     ident = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
     src = jnp.where(valid_match_i[..., 0], idx_j2i, hw)  # invalid -> dropped
     rows = jnp.arange(b)[:, None]
-    idx_seed = ident.at[rows, src].set(ident, mode="drop")
-    seeded = jnp.zeros((b, hw), bool).at[rows, src].set(True, mode="drop")
+    # ONE scatter for both outputs (row-granular scatters cost ~2.5-4 ms
+    # per 147k rows on TPU): value ident+1 with 0 meaning "hole"
+    packed = jnp.zeros((b, hw), jnp.int32).at[rows, src].set(
+        ident + 1, mode="drop")
+    seeded = packed > 0
+    idx_seed = jnp.where(seeded, packed - 1, ident)
     return idx_seed, seeded
 
 

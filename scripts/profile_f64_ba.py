@@ -106,9 +106,14 @@ def main() -> None:
         except json.JSONDecodeError:
             rec = {}
         if not rec:
-            # child produced no JSON: surface its failure, don't print "{}"
-            rec = {"error": proc.stderr.strip().splitlines()[-3:],
-                   "rc": proc.returncode}
+            # child produced no JSON: surface its failure, don't print "{}".
+            # Keep the exception line itself, not the traceback footer
+            # (the sweep2 run only captured jax's "frames removed" banner).
+            err_lines = [
+                ln for ln in proc.stderr.strip().splitlines()
+                if ln and not ln.startswith((" ", "For simplicity", "----"))
+            ]
+            rec = {"error": err_lines[-4:], "rc": proc.returncode}
         results[{"0": "f32", "1": "f64"}[flag]] = rec
         print(json.dumps(rec), flush=True)
     f32 = results.get("f32", {}).get("solve_ms")
