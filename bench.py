@@ -395,6 +395,10 @@ def main():
     track_only = bool(os.environ.get("FRODO_BENCH_TRACK_ONLY"))
 
     # ---- timed end-to-end loop ---------------------------------------------
+    # snapshot for the latency pass BEFORE the main loop: _write_pair_rows
+    # DONATES its edge buffers, so edges0 is consumed by the first
+    # backend_step below
+    edges_lat = jax.tree.map(jnp.copy, edges0)
     edges = edges0
     t0 = time.perf_counter()
     idx_init = res.idx_f2k
@@ -433,7 +437,7 @@ def main():
     # real-time system is judged by its tail: keyframe frames absorb the
     # burst at the next flags fetch. Replicate the production sync pattern
     # and report p50/p99 per-frame wall latency (VERDICT r3 weak #3).
-    edges = jax.tree.map(jnp.copy, edges0)
+    edges = edges_lat
     idx_init = None
     lat, n_fnn, n_miss = [], 0, 0
     prev_kf = kf

@@ -440,9 +440,10 @@ def _scatter_block(H, g, blocks, gvecs, ii_opt, jj_opt, p_opt):
     mask = ((ii_opt >= 0) & (jj_opt >= 0)).astype(H.dtype)
     i_safe = jnp.maximum(ii_opt, 0)
     j_safe = jnp.maximum(jj_opt, 0)
-    H = H.reshape(p_opt, 7, p_opt, 7)
-    H = H.at[i_safe, :, j_safe, :].add(mask[:, None, None] * blocks)
-    H = H.reshape(p_opt * 7, p_opt * 7)
+    if blocks is not None:
+        H = H.reshape(p_opt, 7, p_opt, 7)
+        H = H.at[i_safe, :, j_safe, :].add(mask[:, None, None] * blocks)
+        H = H.reshape(p_opt * 7, p_opt * 7)
     if gvecs is not None:
         gmask = (ii_opt >= 0).astype(g.dtype)
         g = g.reshape(p_opt, 7)
@@ -557,15 +558,6 @@ def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
         ii_opt = edges.ii - num_fix
         jj_opt = edges.jj - num_fix
 
-        H = jnp.zeros((p_opt * 7, p_opt * 7), A_all.dtype)
-        g = jnp.zeros((p_opt * 7,), A_all.dtype)
-        # Ji = -Jj => H_ii = H_jj = A (symmetric), H_ij = H_ji = -A;
-        # g_i = -gj, g_j = gj (gn_kernels.cu:769, 863-906)
-        H, g = _scatter_block(H, g, A_all, -gj_all, ii_opt, ii_opt, p_opt)
-        H, _ = _scatter_block(H, None, -A_all, None, ii_opt, jj_opt, p_opt)
-        H, _ = _scatter_block(H, None, -A_all, None, jj_opt, ii_opt, p_opt)
-        H, g = _scatter_block(H, g, A_all, gj_all, jj_opt, jj_opt, p_opt)
-
         # odometry edges
         def one_odom(o):
             Ho, go = _odom_edge_system(cfg, T_WC_in, odom.ii[o], odom.jj[o], odom.delta_T[o])
@@ -576,10 +568,29 @@ def _solve_gn(cfg: BAConfig, num_fix: int, T_WC, edges: Edges, odom: OdomEdges,
         Ho_all, go_all = jax.vmap(one_odom)(jnp.arange(odom.ii.shape[0]))
         oi_opt = odom.ii - num_fix
         oj_opt = odom.jj - num_fix
-        H, g = _scatter_block(H, g, Ho_all[:, :7, :7], go_all[:, :7], oi_opt, oi_opt, p_opt)
-        H, _ = _scatter_block(H, None, Ho_all[:, :7, 7:], None, oi_opt, oj_opt, p_opt)
-        H, _ = _scatter_block(H, None, Ho_all[:, 7:, :7], None, oj_opt, oi_opt, p_opt)
-        H, g = _scatter_block(H, g, Ho_all[:, 7:, 7:], go_all[:, 7:], oj_opt, oj_opt, p_opt)
+
+        H = jnp.zeros((p_opt * 7, p_opt * 7), A_all.dtype)
+        g = jnp.zeros((p_opt * 7,), A_all.dtype)
+        # Ji = -Jj => H_ii = H_jj = A (symmetric), H_ij = H_ji = -A;
+        # g_i = -gj, g_j = gj (gn_kernels.cu:769, 863-906). All four
+        # quadrants of every visual AND odom edge ride ONE scatter-add
+        # (and the two g halves a second): XLA lowers each .at[].add to its
+        # own scatter op and never fuses them — 8 scatters measured as a
+        # real slice of the 64-pose solve's per-iteration cost.
+        odt = Ho_all.astype(A_all.dtype)
+        H_blocks = jnp.concatenate([
+            A_all, -A_all, -A_all, A_all,
+            odt[:, :7, :7], odt[:, :7, 7:], odt[:, 7:, :7], odt[:, 7:, 7:],
+        ])
+        Hi = jnp.concatenate([ii_opt, ii_opt, jj_opt, jj_opt,
+                              oi_opt, oi_opt, oj_opt, oj_opt])
+        Hj = jnp.concatenate([ii_opt, jj_opt, ii_opt, jj_opt,
+                              oi_opt, oj_opt, oi_opt, oj_opt])
+        H, _ = _scatter_block(H, None, H_blocks, None, Hi, Hj, p_opt)
+        godt = go_all.astype(g.dtype)
+        g_vecs = jnp.concatenate([-gj_all, gj_all, godt[:, :7], godt[:, 7:]])
+        gi = jnp.concatenate([ii_opt, jj_opt, oi_opt, oj_opt])
+        _, g = _scatter_block(H, g, None, g_vecs, gi, gi, p_opt)
 
         # scale priors: r = log(s_i / s_bar_i), unit Jacobian on the scale DoF
         # (gn_kernels.cu:1716-1790)
