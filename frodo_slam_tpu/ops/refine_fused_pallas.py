@@ -147,11 +147,23 @@ def _corr_mark_kernel(d_hbm, q_ref, qa_ref, d_vmem, sem, *, offsets, n_desc,
         0, 2 * radius + 1, dv_body, (best_s, best_du, best_dv)
     )
 
-    qa_ref[0] = q_ref[0]
+    # write the full block: marker channels replaced on interior lanes via
+    # channel-iota selects (Mosaic supports neither value-scatter nor
+    # sublane-indexed partial stores; lane-dim concats at 128-multiples
+    # place the (th, w) planes into the padded width)
     dt = q_ref.dtype
-    qa_ref[0, :, n_desc + 4, pl.ds(LANE_PAD, w)] = best_du.astype(dt)
-    qa_ref[0, :, n_desc + 5, pl.ds(LANE_PAD, w)] = best_dv.astype(dt)
-    qa_ref[0, :, n_desc + 7, pl.ds(LANE_PAD, w)] = best_s.astype(dt)
+    zl = jnp.zeros((th, LANE_PAD), jnp.float32)
+
+    def widen(x):  # (th, w) -> (th, 1, wlh)
+        return jnp.concatenate([zl, x, zl], axis=1)[:, None, :]
+
+    ch = jax.lax.broadcasted_iota(
+        jnp.int32, (th, F_PAD, q_ref.shape[3]), 1)
+    qa = q_ref[0].astype(jnp.float32)
+    qa = jnp.where(ch == n_desc + 4, widen(best_du.astype(jnp.float32)), qa)
+    qa = jnp.where(ch == n_desc + 5, widen(best_dv.astype(jnp.float32)), qa)
+    qa = jnp.where(ch == n_desc + 7, widen(best_s), qa)
+    qa_ref[0] = qa.astype(dt)
 
 
 def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
@@ -192,7 +204,7 @@ def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
         n_side = 2 * radius + 1
 
         def dv_body(t, state):
-            acc, filled, widx = state
+            acc, widx = state  # widx >= 0 doubles as the "filled" mask
             dv = (t - radius) * dilation
             # source rows for this block's targets: slab offset rd - dv
             rows = q_vmem[pl.ds(rd - dv, th), :, :]  # (th, F, wlh)
@@ -204,30 +216,33 @@ def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
                     (src[:, n_desc + 3, :] > 0.5)  # live payload
                     & (src[:, n_desc + 4, :] == du)
                     & (src[:, n_desc + 5, :] == dv)
-                    & jnp.logical_not(filled)
+                    & (widx < 0)  # first matching probe wins
                 )
                 acc = jnp.where(ok[:, None, :], src, acc)
                 widx = jnp.where(ok, t * n_side + j, widx)
-                filled = filled | ok
-            return acc, filled, widx
+            return acc, widx
 
-        acc, _, widx = jax.lax.fori_loop(
+        acc, widx = jax.lax.fori_loop(
             0, n_side, dv_body,
             (
                 jnp.zeros((th, F_PAD, w), q_vmem.dtype),
-                jnp.zeros((th, w), jnp.bool_),
                 jnp.full((th, w), -1, jnp.int32),
             ),
         )
-        # rebase the relocated payload: its carried best offset is now its
-        # own pixel (the score channel keeps the value it moved for)
-        acc = acc.at[:, n_desc + 4, :].set(jnp.zeros((th, w), acc.dtype))
-        acc = acc.at[:, n_desc + 5, :].set(jnp.zeros((th, w), acc.dtype))
-        # record the contested-pixel winner's probe index for the replant
-        # pass (exact small ints in bf16; -1 = nobody relocated here)
-        acc = acc.at[:, n_desc + 6, :].set(widx.astype(acc.dtype))
-        qn_ref[0] = jnp.zeros_like(qn_ref[0])
-        qn_ref[0, :, :, pl.ds(LANE_PAD, w)] = acc
+        # rebase the relocated payload (carried best offset -> own pixel;
+        # the score channel keeps the value it moved for) and record the
+        # contested-pixel winner's probe index for the replant pass (exact
+        # small ints in bf16; -1 = nobody relocated here). Channel-iota
+        # selects, NOT value .at[].set — Mosaic has no scatter lowering —
+        # and ONE full-block store with lane-concat pads.
+        ch = jax.lax.broadcasted_iota(jnp.int32, (th, F_PAD, w), 1)
+        acc = jnp.where(
+            (ch == n_desc + 4) | (ch == n_desc + 5),
+            jnp.zeros_like(acc), acc)
+        acc = jnp.where(
+            ch == n_desc + 6, widx.astype(acc.dtype)[:, None, :], acc)
+        zl = jnp.zeros((th, F_PAD, LANE_PAD), acc.dtype)
+        qn_ref[0] = jnp.concatenate([zl, acc, zl], axis=2)
 
 
 def _replant_kernel(qn_hbm, qa_ref, ghost_ref, qf_ref, gout_ref, qn_vmem, sem,
@@ -281,8 +296,11 @@ def _replant_kernel(qn_hbm, qa_ref, ghost_ref, qf_ref, gout_ref, qn_vmem, sem,
         won = jnp.zeros((th, w), jnp.bool_)
         for t in range(n_side):
             dv = (t - radius) * dilation
-            # winner-index channel at target rows s + dv (static offsets)
-            wrow = qn_vmem[pl.ds(rd + dv, th), n_desc + 6, :]  # (th, wlh)
+            # winner-index channel at target rows s + dv (static offsets);
+            # load the row block, slice the VALUE (sublane-indexed ref
+            # reads are not a supported Mosaic pattern)
+            rows_t = qn_vmem[pl.ds(rd + dv, th), :, :]  # (th, F, wlh)
+            wrow = rows_t[:, n_desc + 6, :]  # (th, wlh)
             for j, du in enumerate(dus):
                 wch = wrow[:, LANE_PAD + du : LANE_PAD + du + w]
                 won = won | (
@@ -294,14 +312,14 @@ def _replant_kernel(qn_hbm, qa_ref, ghost_ref, qf_ref, gout_ref, qn_vmem, sem,
         lost = own_valid & jnp.logical_not(won)
         replant = lost & jnp.logical_not(occupied)
         death = lost & occupied
-        qf_ref[0] = jnp.zeros_like(qf_ref[0])
-        qf_ref[0, :, :, pl.ds(LANE_PAD, w)] = jnp.where(
-            replant[:, None, :], own, center
-        )
-        gout_ref[0] = jnp.zeros_like(gout_ref[0])
-        gout_ref[0, :, :, pl.ds(LANE_PAD, w)] = jnp.where(
-            death[:, None, :], own, ghost_ref[0, :, :, pl.ds(LANE_PAD, w)]
-        )
+        zl = jnp.zeros((th, F_PAD, LANE_PAD), own.dtype)
+        qf_ref[0] = jnp.concatenate(
+            [zl, jnp.where(replant[:, None, :], own, center), zl], axis=2)
+        gout_ref[0] = jnp.concatenate(
+            [zl,
+             jnp.where(death[:, None, :], own,
+                       ghost_ref[0, :, :, pl.ds(LANE_PAD, w)]),
+             zl], axis=2)
 
 
 def _level(Qp, Ghost, Dp, *, radius, dilation, n_desc, h, w, pad_v, interpret,
