@@ -82,7 +82,6 @@ def default_config() -> Dict[str, Any]:
                 "dilation_max_seed": 2,
                 "ft_matching_threshold": 0.8,
                 "refine_impl": "auto",
-                "symmetric_impl": "batch",
             },
             "tracking": {
                 "min_match_frac": 0.008,

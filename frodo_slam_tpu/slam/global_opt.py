@@ -472,6 +472,12 @@ def _xla_edge_fn(cfg: BAConfig, edge_system):
 
 def _resolve_edge_impl(cfg: BAConfig) -> str:
     if cfg.edge_impl == "auto":
+        # x64 (eval mode): int64 index operands leak into the pallas_call
+        # and Mosaic has no 64-bit lowering (measured: the f64 profile
+        # child died in MLIR verification, sweep3) — the XLA edge path
+        # handles the widened types fine and eval mode is not latency-bound
+        if jax.config.jax_enable_x64:
+            return "xla"
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return cfg.edge_impl
 

@@ -140,38 +140,21 @@ def match_symmetric(params, cfg, match_cfg, feat_i, pos_i, feat_j, pos_j, img_hw
     Returns (idx_i2j, idx_j2i, valid_match_j, valid_match_i, Qii, Qjj, Qji,
     Qij) with Q* shaped (N, HW, 1).
 
-    ``matching.symmetric_impl`` selects the decode strategy:
-    - ``batch`` — both directions of N pairs packed into ONE decoder batch
-      of 2N + one cold match of 2N (decode_symmetric_batch);
-    - ``asym2`` — TWO asymmetric decodes of batch N + two cold matches of
-      batch N. At N=1 (the consecutive-edge stream) every program is the
-      tracker's own cached per-frame program, and the measured serial cost
-      is lower (decode_symmetric_batch 113.6 ms vs 2x20.9 ms asymmetric on
-      v5e, PERF.md round 3) — the 2N batch pays vmapped-conv DPT heads.
+    Both directions of the N pairs pack into ONE decoder batch of 2N + one
+    cold match of 2N (decode_symmetric_batch, the reference's strategy,
+    mast3r_utils.py:137-174). An ``asym2`` alternative (two asymmetric
+    N-batches through the tracker's cached pair program) looked better in
+    isolated serial timings but lost the full-bench A/B twice (17.10 vs
+    17.23 r3; neutral-at-best r4 sweep3) — deleted with its knob; the
+    isolated-vs-e2e rank inversion is documented in PERF.md round 3.
     """
     mc = dict(match_cfg)
-    impl = mc.pop("symmetric_impl", "batch")
+    mc.pop("symmetric_impl", None)  # retired knob: tolerate old configs
     # backend pair matching is never warm-started: full cold-start reach
     cold_cfg, _ = matching.split_match_cfg(mc)
     n = feat_i.shape[0]
     hw = img_hw[0] * img_hw[1]
     rs = lambda a: a.reshape(n, hw, 1)  # noqa: E731
-
-    if impl == "asym2":
-        # [ii, ji] and [jj, ij] halves via the shared jitted pair decode
-        res_ii, res_ji = _model_stage(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw)
-        res_jj, res_ij = _model_stage(params, cfg, feat_j, pos_j, feat_i, pos_i, img_hw)
-        idx_i2j, valid_match_j = matching.match(
-            res_ii["pts3d"], res_ji["pts3d"], res_ii["desc"], res_ji["desc"],
-            None, **cold_cfg)
-        idx_j2i, valid_match_i = matching.match(
-            res_jj["pts3d"], res_ij["pts3d"], res_jj["desc"], res_ij["desc"],
-            None, **cold_cfg)
-        return (
-            idx_i2j, idx_j2i, valid_match_j, valid_match_i,
-            rs(res_ii["desc_conf"]), rs(res_jj["desc_conf"]),
-            rs(res_ji["desc_conf"]), rs(res_ij["desc_conf"]),
-        )
 
     X, C, D, Q = decode_symmetric_batch(params, cfg, feat_i, pos_i, feat_j, pos_j, img_hw)
 

@@ -20,8 +20,6 @@ run refine_fused FRODO_BENCH_REFINE=fused
 run track_only FRODO_BENCH_TRACK_ONLY=1
 # defaults anchor AFTER the invert/scatter merges (same window)
 run defaults_post FRODO_DUMMY=
-# second asym2 confirmation (VERDICT r3 #3: drop the knob if dominated)
-run sym_asym2 FRODO_BENCH_SYM_IMPL=asym2
 
 # eval-mode f64 BA solve cost (VERDICT r2 #7 / r3 #8) + the merged-scatter
 # solve cost (f32 anchor was 105.2 ms isolated pre-merge)

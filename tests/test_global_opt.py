@@ -571,38 +571,3 @@ def test_add_consecutive_half_matches_add_factors():
             atol=1e-3, err_msg=f)
 
 
-def test_match_symmetric_asym2_matches_batch():
-    """matching.symmetric_impl='asym2' (two N-batch asymmetric decodes via
-    the tracker's cached program) must agree with the default 2N-batch
-    decode. Same float-level caveat as the half-reuse test: the decoder is
-    batch-size-sensitive, so agreement is statistical (>=97% identical
-    matches), with Q close wherever the match agrees."""
-    from frodo_slam_tpu.config import make_config
-    from frodo_slam_tpu.models import mast3r
-    from frodo_slam_tpu.slam.inference import match_symmetric
-
-    h, w = 32, 64
-    mcfg = mast3r.tiny_config()
-    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
-    params["head2"] = params["head1"]
-    params["dec_blocks2"] = params["dec_blocks"]
-
-    n_tok = (h // 16) * (w // 16)
-    rng = np.random.default_rng(3)
-    feat_i = jnp.asarray(rng.normal(size=(1, n_tok, mcfg.enc_embed_dim)).astype(np.float32))
-    feat_j = jnp.asarray(rng.normal(size=(1, n_tok, mcfg.enc_embed_dim)).astype(np.float32))
-    yy, xx = np.meshgrid(np.arange(h // 16), np.arange(w // 16), indexing="ij")
-    pos = jnp.asarray(np.stack([yy, xx], -1).reshape(1, n_tok, 2), jnp.int32)
-
-    mc = dict(make_config().matching)
-    out_b = match_symmetric(params, mcfg, {**mc, "symmetric_impl": "batch"},
-                            feat_i, pos, feat_j, pos, (h, w))
-    out_a = match_symmetric(params, mcfg, {**mc, "symmetric_impl": "asym2"},
-                            feat_i, pos, feat_j, pos, (h, w))
-    assert len(out_b) == len(out_a) == 8
-    for k, (b_idx, a_idx) in enumerate(zip(out_b[:2], out_a[:2])):
-        agree = np.asarray(b_idx) == np.asarray(a_idx)
-        assert agree.mean() > 0.97, f"direction {k}: agreement {agree.mean():.4f}"
-    for k in range(4, 8):  # Q planes: close wherever produced
-        np.testing.assert_allclose(np.asarray(out_b[k]), np.asarray(out_a[k]),
-                                   atol=1e-2, err_msg=f"Q[{k}]")
