@@ -21,37 +21,35 @@ Here the recentring stays ON DEVICE in image space:
   for target pixel p and probe offset o, the source q = p - o moved here
   iff its recorded winning offset equals o — 49 statically-shifted masked
   selects, the exact dual of the correlation's 49 shifted dots; the first
-  matching probe wins a contested pixel, and the winning probe's index is
-  recorded in a payload channel. The per-level displacement is bounded by
-  the probe reach, which is what makes relocation expressible as static
-  shifts (the initial scatter is not, which is why it stays in XLA);
-- a *replant* kernel restores contested-pixel LOSERS to their old pixel
-  (a source q lost iff the recorded winner index at its destination
-  q + o is not q's own probe) when nobody relocated onto that pixel —
-  reproducing the per-level XLA formulations' semantics, where a
-  collision loser keeps its center and resumes refining at the next
-  level. Loser detection is again 49 static shifts: q's destination
-  offset is q's own recorded probe, enumerable over the window;
-- after the last level, ONE gather-free readout (the payload's qid says
-  who ended where) plus ONE XLA scatter maps pixel-space winners back to
-  per-query results.
+  matching probe wins a contested pixel, the loser is dropped from the
+  live plane. The per-level displacement is bounded by the probe reach,
+  which is what makes relocation expressible as static shifts (the
+  initial scatter is not, which is why it stays in XLA). Before pulling,
+  the kernel snapshots every live payload into a GHOST plane — so a
+  dropped payload's best-known result (its marked offset + score)
+  survives its eviction;
+- after the last level, ONE gather-free readout (every payload's result
+  is its home pixel plus its carried best offset at its carried score —
+  identical for live payloads and ghosts) plus two XLA scatters (ghosts
+  first, live winners over them) map pixel-space results back to
+  per-query rows.
 
-Collision semantics (documented divergence): like the per-level XLA
-formulations, a contested pixel keeps exactly one payload per level and
-the loser stays at its previous center with its running score (genuine
-descriptor dots at genuine probe positions; the caller's seed guarantees
-at least the center score). The only difference is WHICH contender wins
-(probe-scan order here vs scatter order there) and the rare eviction of a
-stationary payload by an incoming one — both inside the same
-"collision keeps one" contract.
+Collision semantics (documented divergence): a contested pixel keeps
+exactly one payload per level; the loser stops refining but reports its
+best-so-far via its ghost (genuine descriptor dots at genuine probe
+positions; the caller's seed guarantees at least the center score). The
+per-level XLA formulations instead let the loser keep refining from its
+old center in later levels — a strictly-richer search for contested
+queries, which real near-injective matcher flows rarely create (the
+pipeline-level agreement test bounds the effect).
 
 Layout: payload plane (b, hp, F_PAD, wlh) — image rows on the LEADING
 (untiled) axis padded by a whole row-block per side (so the kernels see
 every halo row without clamp gymnastics), channels on sublanes, width on
 128-lanes padded by 128 per side (>= the probe reach, and a legal DMA
 offset). Channels: [0:f) descriptor, [f:f+3) qid base-256 digits,
-f+3 validity, f+4 winning du, f+5 winning dv, f+6 the target-pixel winner
-probe index — all exactly representable in bf16.
+f+3 validity, f+4 winning du, f+5 winning dv, f+7 the winning score —
+all exactly representable in bf16 (the score to bf16 precision).
 """
 
 from __future__ import annotations
@@ -166,19 +164,26 @@ def _corr_mark_kernel(d_hbm, q_ref, qa_ref, d_vmem, sem, *, offsets, n_desc,
     qa_ref[0] = qa.astype(dt)
 
 
-def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
-                     h, w, pad_v, n_blocks, slab_h):
-    """Pull-relocation for one (batch, row-block) grid step.
+def _relocate_kernel(qa_hbm, ghost_ref, qn_ref, gout_ref, q_vmem, sem, *,
+                     offsets, n_desc, th, h, w, pad_v, n_blocks, slab_h):
+    """Pull-relocation + ghost snapshot for one (batch, row-block) grid step.
 
     For every target pixel p and probe offset o, the source q = p - o
     relocates here iff q's recorded winning offset equals o and q holds a
     live payload; the first matching probe (the correlation's own scan
-    order) wins a conflict, the loser is dropped (module docstring).
+    order) wins a contested pixel, the loser is DROPPED from the live
+    plane. Before relocation, every live payload snapshots itself (home
+    pixel + marked best offset + score) into the GHOST plane: a dropped
+    payload's last snapshot IS its result (the readout scatters ghosts
+    first and live winners over them, so a surviving query's ghost is
+    simply shadowed). Dense matching is many-to-one — the ghost is how an
+    evicted query still reports the match it found.
 
     qa_hbm: (b, hp, F_PAD, wlh) ANY — marked query plane (_corr_mark).
-    qn_ref: (1, th, F_PAD, wlh) VMEM out — relocated plane; row-pad blocks
-            and lane pads are written zero (keeps the layout's invariant:
-            pads carry no live payload).
+    ghost_ref: (1, th, F_PAD, wlh) VMEM — ghost plane accumulated so far.
+    qn_ref, gout_ref: (1, th, F_PAD, wlh) VMEM out — relocated plane and
+            updated ghost plane; row-pad blocks and lane pads are written
+            zero (the layout invariant: pads carry no live payload).
     q_vmem: (slab_h, F_PAD, wlh) VMEM scratch — row band + probe halo.
     """
     bi = pl.program_id(0)
@@ -191,6 +196,7 @@ def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
     @pl.when(jnp.logical_not(interior))
     def _():
         qn_ref[0] = jnp.zeros_like(qn_ref[0])
+        gout_ref[0] = jnp.zeros_like(gout_ref[0])
 
     @pl.when(interior)
     def _():
@@ -201,132 +207,74 @@ def _relocate_kernel(qa_hbm, qn_ref, q_vmem, sem, *, offsets, n_desc, th,
         cp.start()
         cp.wait()
 
-        n_side = 2 * radius + 1
+        zl = jnp.zeros((th, F_PAD, LANE_PAD), q_vmem.dtype)
+
+        # ghost snapshot: every live payload's pre-relocation state (its
+        # marked channels carry its best-known offset + score)
+        own = q_vmem[pl.ds(rd, th), :, pl.ds(LANE_PAD, w)]  # (th, F, w)
+        own_valid = own.astype(jnp.float32)[:, n_desc + 3, :] > 0.5
+        ghost_prev = ghost_ref[0, :, :, pl.ds(LANE_PAD, w)]
+        prev_valid = ghost_prev.astype(jnp.float32)[:, n_desc + 3, :] > 0.5
+        # keep the EARLIER record on a slot conflict: a dead query's ghost
+        # must not be destroyed by a later payload passing through its
+        # pixel (a surviving query's snapshot is shadowed by the live
+        # scatter at readout anyway, so freshness only matters for deaths)
+        gout = jnp.where(
+            (own_valid & jnp.logical_not(prev_valid))[:, None, :],
+            own, ghost_prev)
+        gout_ref[0] = jnp.concatenate([zl, gout, zl], axis=2)
 
         def dv_body(t, state):
-            acc, widx = state  # widx >= 0 doubles as the "filled" mask
+            acc, filled = state  # filled >= 0: first matching probe won
             dv = (t - radius) * dilation
             # source rows for this block's targets: slab offset rd - dv
             rows = q_vmem[pl.ds(rd - dv, th), :, :]  # (th, F, wlh)
+            # marker channels extracted ONCE per row offset, from an f32
+            # view: single-sublane extraction from a bf16 value crashes the
+            # Mosaic compiler (no sub-tile 16-bit slice; bisected in
+            # scratch/fused_construct_bisect.py) — 32-bit values extract
+            # fine, exactly like the tile kernel's qid decode
+            r32 = rows.astype(jnp.float32)
+            valid_r = r32[:, n_desc + 3, :]  # (th, wlh)
+            du_r = r32[:, n_desc + 4, :]
+            dv_r = r32[:, n_desc + 5, :]
             for j, du in enumerate(dus):
                 # target lane x (interior) pulls source lane x - du:
                 # padded-lane slice start LANE_PAD - du (static)
-                src = rows[:, :, LANE_PAD - du : LANE_PAD - du + w]
+                sl = slice(LANE_PAD - du, LANE_PAD - du + w)
                 ok = (
-                    (src[:, n_desc + 3, :] > 0.5)  # live payload
-                    & (src[:, n_desc + 4, :] == du)
-                    & (src[:, n_desc + 5, :] == dv)
-                    & (widx < 0)  # first matching probe wins
+                    (valid_r[:, sl] > 0.5)  # live payload
+                    & (du_r[:, sl] == du)
+                    & (dv_r[:, sl] == dv)
+                    & (filled < 0)  # first matching probe wins
                 )
-                acc = jnp.where(ok[:, None, :], src, acc)
-                widx = jnp.where(ok, t * n_side + j, widx)
-            return acc, widx
+                acc = jnp.where(ok[:, None, :], rows[:, :, sl], acc)
+                filled = jnp.where(ok, 1, filled)
+            return acc, filled
 
-        acc, widx = jax.lax.fori_loop(
-            0, n_side, dv_body,
+        acc, _ = jax.lax.fori_loop(
+            0, 2 * radius + 1, dv_body,
             (
                 jnp.zeros((th, F_PAD, w), q_vmem.dtype),
                 jnp.full((th, w), -1, jnp.int32),
             ),
         )
         # rebase the relocated payload (carried best offset -> own pixel;
-        # the score channel keeps the value it moved for) and record the
-        # contested-pixel winner's probe index for the replant pass (exact
-        # small ints in bf16; -1 = nobody relocated here). Channel-iota
+        # the score channel keeps the value it moved for). Channel-iota
         # selects, NOT value .at[].set — Mosaic has no scatter lowering —
         # and ONE full-block store with lane-concat pads.
         ch = jax.lax.broadcasted_iota(jnp.int32, (th, F_PAD, w), 1)
         acc = jnp.where(
             (ch == n_desc + 4) | (ch == n_desc + 5),
             jnp.zeros_like(acc), acc)
-        acc = jnp.where(
-            ch == n_desc + 6, widx.astype(acc.dtype)[:, None, :], acc)
-        zl = jnp.zeros((th, F_PAD, LANE_PAD), acc.dtype)
         qn_ref[0] = jnp.concatenate([zl, acc, zl], axis=2)
-
-
-def _replant_kernel(qn_hbm, qa_ref, ghost_ref, qf_ref, gout_ref, qn_vmem, sem,
-                    *, offsets, n_desc, th, h, w, pad_v, slab_h):
-    """Contested-pixel loser replant for one (batch, row-block) grid step.
-
-    A source q relocated iff the winner probe index recorded at its
-    destination q + o_q equals q's own probe — 49 static shifted reads of
-    the index channel (o_q enumerates the window). A loser whose pixel was
-    not claimed by an incoming payload stays home and resumes refining next
-    level (the per-level XLA formulations' collision semantics); a loser
-    whose pixel WAS claimed dies, and its payload — which carries its
-    intended destination (du/dv channels) and that probe's score — is
-    recorded in the GHOST plane at its death pixel. Dense matching is
-    many-to-one: the ghost is how an evicted query still reports the match
-    it found instead of falling back to its seed.
-
-    qa_ref: (1, th, F_PAD, wlh) VMEM — the MARKED plane (corr output: who
-            sat here, which probe it chose, that probe's score).
-    qn_hbm: (b, hp, F_PAD, wlh) ANY — the relocated plane (R1 output).
-    ghost_ref: (1, th, F_PAD, wlh) VMEM — ghost plane accumulated so far.
-    qf_ref, gout_ref: (1, th, F_PAD, wlh) VMEM out — final live plane and
-            updated ghost plane for this level.
-    """
-    bi = pl.program_id(0)
-    i = pl.program_id(1)
-    radius, dilation, dus = offsets
-    rd = radius * dilation
-    n_side = 2 * radius + 1
-
-    interior = (i * th >= pad_v) & ((i + 1) * th <= pad_v + h)
-
-    @pl.when(jnp.logical_not(interior))
-    def _():
-        qf_ref[0] = jnp.zeros_like(qf_ref[0])
-        gout_ref[0] = jnp.zeros_like(gout_ref[0])
-
-    @pl.when(interior)
-    def _():
-        cp = pltpu.make_async_copy(
-            qn_hbm.at[bi, pl.ds(i * th - rd, slab_h)], qn_vmem, sem
-        )
-        cp.start()
-        cp.wait()
-
-        own = qa_ref[0, :, :, pl.ds(LANE_PAD, w)]  # (th, F, w)
-        own_valid = own[:, n_desc + 3, :] > 0.5
-        odu = own[:, n_desc + 4, :]
-        odv = own[:, n_desc + 5, :]
-
-        won = jnp.zeros((th, w), jnp.bool_)
-        for t in range(n_side):
-            dv = (t - radius) * dilation
-            # winner-index channel at target rows s + dv (static offsets);
-            # load the row block, slice the VALUE (sublane-indexed ref
-            # reads are not a supported Mosaic pattern)
-            rows_t = qn_vmem[pl.ds(rd + dv, th), :, :]  # (th, F, wlh)
-            wrow = rows_t[:, n_desc + 6, :]  # (th, wlh)
-            for j, du in enumerate(dus):
-                wch = wrow[:, LANE_PAD + du : LANE_PAD + du + w]
-                won = won | (
-                    (odu == du) & (odv == dv) & (wch == t * n_side + j)
-                )
-
-        center = qn_vmem[pl.ds(rd, th), :, pl.ds(LANE_PAD, w)]  # (th, F, w)
-        occupied = center[:, n_desc + 3, :] > 0.5
-        lost = own_valid & jnp.logical_not(won)
-        replant = lost & jnp.logical_not(occupied)
-        death = lost & occupied
-        zl = jnp.zeros((th, F_PAD, LANE_PAD), own.dtype)
-        qf_ref[0] = jnp.concatenate(
-            [zl, jnp.where(replant[:, None, :], own, center), zl], axis=2)
-        gout_ref[0] = jnp.concatenate(
-            [zl,
-             jnp.where(death[:, None, :], own,
-                       ghost_ref[0, :, :, pl.ds(LANE_PAD, w)]),
-             zl], axis=2)
 
 
 def _level(Qp, Ghost, Dp, *, radius, dilation, n_desc, h, w, pad_v, interpret,
            last=False):
     """One pyramid level: correlation+mark, then (except on the last level,
-    whose marks ARE the result — no payload needs to move again)
-    pull-relocation and loser replant. All kernels grid over (batch,
+    whose marks ARE the result — no payload needs to move again) the
+    ghost-snapshotting pull-relocation. Both kernels grid over (batch,
     padded-row blocks); everything stays in HBM between them — no
     host-visible data movement."""
     b, hp, f, wlh = Qp.shape
@@ -362,27 +310,10 @@ def _level(Qp, Ghost, Dp, *, radius, dilation, n_desc, h, w, pad_v, interpret,
         _relocate_kernel, offsets=offsets, n_desc=n_desc, th=th, h=h, w=w,
         pad_v=pad_v, n_blocks=hp // th, slab_h=th + 2 * rd,
     )
-    Qn = pl.pallas_call(
+    return pl.pallas_call(
         reloc,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=block,
-        out_shape=jax.ShapeDtypeStruct(Qp.shape, Qp.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * rd, F_PAD, wlh), Qp.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(Qa)
-
-    replant = partial(
-        _replant_kernel, offsets=offsets, n_desc=n_desc, th=th, h=h, w=w,
-        pad_v=pad_v, slab_h=th + 2 * rd,
-    )
-    return pl.pallas_call(
-        replant,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), block, block],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), block],
         out_specs=[block, block],
         out_shape=[
             jax.ShapeDtypeStruct(Qp.shape, Qp.dtype),
@@ -393,7 +324,7 @@ def _level(Qp, Ghost, Dp, *, radius, dilation, n_desc, h, w, pad_v, interpret,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(Qn, Qa, Ghost)
+    )(Qa, Ghost)
 
 
 @partial(jax.jit, static_argnames=("radius", "dilation_max", "dtype", "interpret"))
@@ -449,7 +380,7 @@ def refine_matches_fused(
         [qid % 256, (qid // 256) % 256, qid // 65536], axis=-1
     ).astype(dtype)
     ones = jnp.ones((b, hw, 1), dtype)
-    zeros3 = jnp.zeros((b, hw, 3), dtype)  # marked du, dv, widx
+    zeros3 = jnp.zeros((b, hw, 3), dtype)  # marked du, dv, spare
     pad_q = jnp.zeros((b, hw, F_PAD - f - 8), dtype)
     payload = jnp.concatenate(
         [D21c, qid3, ones, zeros3, seed_score[..., None].astype(dtype), pad_q],

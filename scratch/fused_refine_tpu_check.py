@@ -45,10 +45,11 @@ p0 = np.clip(p0 + rng.integers(-3, 4, p0.shape), 0, [w - 1, h - 1]).astype(np.in
 D11j, D21j, pj = jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p0)
 
 for name, fn, kw in (
-    ("fused_d5", refine_matches_fused, dict(radius=3, dilation_max=5)),
+    ("fused_d1", refine_matches_fused, dict(radius=3, dilation_max=1)),
     ("fused_d2", refine_matches_fused, dict(radius=3, dilation_max=2)),
-    ("tile_d5", refine_tile, dict(radius=3, dilation_max=5)),
-    ("tile_d2", refine_tile, dict(radius=3, dilation_max=2)),
+    ("fused_d3", refine_matches_fused, dict(radius=3, dilation_max=3)),
+    ("fused_d4", refine_matches_fused, dict(radius=3, dilation_max=4)),
+    ("fused_d5", refine_matches_fused, dict(radius=3, dilation_max=5)),
 ):
     t0 = time.perf_counter()
     try:
