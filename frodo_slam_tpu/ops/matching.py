@@ -450,12 +450,6 @@ def _refine_dispatch(impl: str):
         from .refine_pallas import refine_matches_pallas
 
         return partial(refine_matches_pallas, interpret=not on_tpu)
-    if impl == "pallas_tile":
-        # single-column-tile layout, the pending TPU A/B candidate
-        # (see ops/refine_pallas_tile.py docstring)
-        from .refine_pallas_tile import refine_matches_pallas
-
-        return partial(refine_matches_pallas, interpret=not on_tpu)
     if impl == "fused":
         # fused multi-level pyramid: no per-level scatter/gather
         # (ops/refine_fused_pallas.py; one-shot collision truncation)
@@ -496,7 +490,7 @@ def match(
     Returns idx_1_to_2 (b, h*w) int32 and valid (b, h*w, 1) bool.
     """
     b, h, w = X21.shape[:3]
-    if refine_impl in ("auto", "pallas", "pallas_tile", "fused") and (
+    if refine_impl in ("auto", "pallas", "fused") and (
             w % 128 or h % 8):
         # Mosaic tiling wants lane extents in 128-multiples and sublane
         # extents in 8-multiples; small/odd images (tiny harnesses) fall

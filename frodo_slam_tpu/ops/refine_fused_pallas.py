@@ -4,7 +4,7 @@ NO per-level XLA scatter/gather.
 Spec: ``refine_matches_kernel`` (reference ``matching_kernels.cu:25-125``)
 — coarse-to-fine dilated descriptor search, levels recenter at the
 per-query best. The per-level XLA formulations (ops/matching.py shift,
-ops/refine_pallas_tile.py kernel) pay a 147k-row SCATTER (re-seed the
+ops/refine_pallas.py kernel) pay a 147k-row SCATTER (re-seed the
 query plane at the new centers, ~3 ms) plus a 147k-row GATHER (read the
 winners back, ~2.5 ms) per level — row-granular data movement the TPU
 runs ~250x below HBM speed (PERF.md "Known costs and floors").
@@ -15,7 +15,7 @@ Here the recentring stays ON DEVICE in image space:
   (desc + qid digits + validity; the initial displacement is unbounded,
   so this scatter is irreducible);
 - per level, a *correlation* kernel scores the (2r+1)^2 dilated offsets
-  per pixel (streaming VPU dots, slab layout of refine_pallas_tile) and
+  per pixel (streaming VPU dots, banded descriptor slabs) and
   writes the winning (du, dv) into two payload channels;
 - a *pull-relocation* kernel then moves every payload to its new center:
   for target pixel p and probe offset o, the source q = p - o moved here
@@ -70,7 +70,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _corr_pads(h: int, w: int, rd_max: int):
-    """Padded descriptor-image geometry (same rules as refine_pallas_tile):
+    """Padded descriptor-image geometry (same rules as refine_pallas):
     row pads cover the probe reach in 8-multiples, width a 128-multiple."""
     hp = h + 2 * _round_up(rd_max, 8)
     wp = _round_up(w + 2 * _round_up(rd_max, 16), 128)

@@ -10,7 +10,11 @@ Why a kernel: the XLA shift formulation streams Q and a shifted D plane
 from HBM once per offset (49 full-image reads per level, ~26 ms/frame
 measured on v5e at 288x512x24). Here each Q row-tile is read once, D is
 DMA'd into VMEM once per (batch, column-tile), and all offsets are
-computed in-core — the level becomes VPU-compute-bound (~0.3 ms/level).
+computed in-core. A single-column-tile layout variant (contiguous slab
+DMA) measured e2e-neutral twice (17.28 vs 17.23 FPS r3; neutral r4) and
+was deleted per the one-kernel rule; the FUSED whole-pyramid chain
+(ops/refine_fused_pallas.py, `refine_impl: fused`) is the remaining
+alternative — bench-neutral, isolated-faster (PERF.md round 4).
 
 Layout (Mosaic alignment rules shape this): descriptor planes are
 ``(H, F, W)`` — image rows ride the LEADING (untiled) axis, where dynamic
