@@ -165,7 +165,7 @@ def _corr_mark_kernel(d_hbm, q_ref, qa_ref, d_vmem, sem, *, offsets, n_desc,
 
 
 def _relocate_kernel(qa_hbm, ghost_ref, qn_ref, gout_ref, q_vmem, sem, *,
-                     offsets, n_desc, th, h, w, pad_v, n_blocks, slab_h):
+                     offsets, n_desc, th, h, w, pad_v, slab_h):
     """Pull-relocation + ghost snapshot for one (batch, row-block) grid step.
 
     For every target pixel p and probe offset o, the source q = p - o
@@ -308,7 +308,7 @@ def _level(Qp, Ghost, Dp, *, radius, dilation, n_desc, h, w, pad_v, interpret,
 
     reloc = partial(
         _relocate_kernel, offsets=offsets, n_desc=n_desc, th=th, h=h, w=w,
-        pad_v=pad_v, n_blocks=hp // th, slab_h=th + 2 * rd,
+        pad_v=pad_v, slab_h=th + 2 * rd,
     )
     return pl.pallas_call(
         reloc,

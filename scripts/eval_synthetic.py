@@ -436,6 +436,8 @@ def _synth_matching_overrides():
         over["max_iter_warm"] = int(os.environ["FRODO_SYNTH_MAXITER_WARM"])
     if os.environ.get("FRODO_SYNTH_SEED") is not None:
         over["seed_consecutive"] = bool(int(os.environ["FRODO_SYNTH_SEED"]))
+    if os.environ.get("FRODO_SYNTH_DILATION_SEED") is not None:
+        over["dilation_max_seed"] = int(os.environ["FRODO_SYNTH_DILATION_SEED"])
     return over
 
 
