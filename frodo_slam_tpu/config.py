@@ -79,7 +79,7 @@ def default_config() -> Dict[str, Any]:
                 "dilation_max_warm": -1,
                 "max_iter_warm": 4,
                 "seed_consecutive": True,
-                "dilation_max_seed": 2,
+                "dilation_max_seed": 5,
                 "ft_matching_threshold": 0.8,
                 "refine_impl": "auto",
             },

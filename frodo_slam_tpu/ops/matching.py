@@ -421,15 +421,17 @@ def seed_match_cfg(match_cfg) -> dict:
     approximately converged — scatter collisions keep an arbitrary winner
     and the inverse of an asymmetric match is off by its asymmetry — so a
     score-only probe lets 1-2 px errors through the gates as subtly wrong
-    consecutive constraints (measured: the loop-closure oracle regressed
-    0.12 -> 0.20 ATE; a real refine reach restores it, PERF.md 2026-08-20).
-    ``dilation_max_seed`` (default 2: the two finest pyramid levels, ±6 px
-    reach) sets that reach; the warm LM iteration cap also applies when
-    ``max_iter_warm`` is set (when the warm split is disabled the seed
-    config inherits the full cold ``max_iter``)."""
+    consecutive constraints, and even a two-level reach produced
+    constraints that fought the loop closures on longer trajectories
+    (16-frame loop oracle: 0.35 with edges vs 0.20 without; the full reach
+    restores 0.11 — PERF.md round 4 "seeded-match reach matrix").
+    ``dilation_max_seed`` (default 5 = the full cold pyramid) sets that
+    reach; the warm LM iteration cap also applies when ``max_iter_warm``
+    is set (when the warm split is disabled the seed config inherits the
+    full cold ``max_iter``)."""
     cold, warm = split_match_cfg(match_cfg)
     seed = dict(warm)
-    d = match_cfg.get("dilation_max_seed", 2)
+    d = match_cfg.get("dilation_max_seed", 5)
     seed["dilation_max"] = max(0, min(int(d), int(cold.get("dilation_max", 5))))
     return seed
 
