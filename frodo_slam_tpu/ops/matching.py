@@ -437,24 +437,24 @@ def seed_match_cfg(match_cfg) -> dict:
 
 
 def _refine_dispatch(impl: str):
-    """Select the refine implementation. ``pallas`` runs the TPU correlation
-    kernel (ops/refine_pallas.py) — on non-TPU backends it falls back to the
-    interpreter so tests/CPU runs stay correct. ``auto`` (the config
-    default) picks pallas on TPU and shift elsewhere: equal match quality
-    (equal mean refined scores, measured), not bit-identical — collision
-    winners and near-tie picks can differ (bf16 vs f32 probe rounding)."""
+    """Select the refine implementation. ``fused`` runs the whole
+    coarse-to-fine pyramid on device (ops/refine_fused_pallas.py) — on
+    non-TPU backends it falls back to the interpreter so tests/CPU runs
+    stay correct. ``auto`` (the config default) picks fused on TPU and
+    shift elsewhere: equal match quality (pipeline-level agreement >0.97,
+    equal mean scores), not bit-identical — contested-pixel winners and
+    near-tie picks can differ (collision semantics + bf16 probe rounding;
+    refine_fused_pallas.py docstring). The fused kernel won the committed
+    full-bench A/B on every metric (21.66 vs 21.31 FPS, better p50/p99 —
+    PERF.md round 4); the per-level kernel it replaced is deleted per the
+    one-kernel rule ("pallas" aliases to fused for old configs).
+    """
     on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
-        impl = "pallas" if on_tpu else "shift"
+        impl = "fused" if on_tpu else "shift"
     if impl == "gather":
         return refine_matches_gather
-    if impl == "pallas":
-        from .refine_pallas import refine_matches_pallas
-
-        return partial(refine_matches_pallas, interpret=not on_tpu)
-    if impl == "fused":
-        # fused multi-level pyramid: no per-level scatter/gather
-        # (ops/refine_fused_pallas.py; one-shot collision truncation)
+    if impl in ("fused", "pallas", "pallas_tile"):
         from .refine_fused_pallas import refine_matches_fused
 
         return partial(refine_matches_fused, interpret=not on_tpu)

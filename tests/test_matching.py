@@ -209,34 +209,6 @@ def test_refine_matches_shift_exact_on_identity():
     np.testing.assert_array_equal(np.asarray(ps[0]), np.asarray(pg[0]))
 
 
-def test_refine_matches_pallas_matches_shift():
-    """The Pallas correlation kernel (interpret mode off-TPU) must reproduce
-    the shift formulation bit-for-bit in positions: same scatter collision
-    semantics, same probe set, same tie-breaking by strict improvement."""
-    from frodo_slam_tpu.ops.refine_pallas import refine_matches_pallas
-
-    rng = np.random.default_rng(7)
-    b, h, w, f = 2, 16, 32, 24
-    D11 = rng.normal(size=(b, h, w, f)).astype(np.float32)
-    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True)
-    D21 = rng.normal(size=(b, h * w, f)).astype(np.float32)
-    D21 /= np.linalg.norm(D21, axis=-1, keepdims=True)
-    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
-    p = np.stack([uu.ravel(), vv.ravel()], -1)[None].repeat(b, 0)
-    p = np.clip(p + rng.integers(-2, 3, p.shape), 0, [w - 1, h - 1]).astype(np.int32)
-
-    ps, ss = matching.refine_matches_shift(
-        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
-        radius=2, dilation_max=3,
-    )
-    pp, sp = refine_matches_pallas(
-        jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p),
-        radius=2, dilation_max=3, interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(ps), np.asarray(pp))
-    np.testing.assert_allclose(np.asarray(ss), np.asarray(sp), atol=2e-2)
-
-
 def test_refine_matches_fused_identity_exact():
     """Fused-pyramid kernel chain (ops/refine_fused_pallas.py), interpret
     mode: on the collision-free self-match (centers = own pixel, queries =
@@ -434,9 +406,6 @@ def test_refine_pallas_under_mesh_matches_single_device():
         _no_rep_check = {"check_rep": False}
 
     from frodo_slam_tpu.ops.refine_fused_pallas import refine_matches_fused
-    from frodo_slam_tpu.ops.refine_pallas import (
-        refine_matches_pallas as refine_plv,
-    )
 
     rng = np.random.default_rng(11)
     b, h, w, f = 8, 16, 32, 24
@@ -451,7 +420,7 @@ def test_refine_pallas_under_mesh_matches_single_device():
     mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
     spec = P("dp")
 
-    for name, fn in (("pallas", refine_plv), ("fused", refine_matches_fused)):
+    for name, fn in (("fused", refine_matches_fused),):
         def kern(D11, D21, p, fn=fn):
             return fn(D11, D21, p, radius=2, dilation_max=3, interpret=True)
 
