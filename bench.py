@@ -25,12 +25,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Honesty notes: x64 stays OFF (the tracking path is f32/bf16 end to end;
 int64 index creep measurably slows the matcher gathers on TPU), so the BA
-solve runs its f32+damping variant rather than the f64 eval-mode solve.
-Random weights with decoder2:=decoder1 sharing make identical frames
-decode consistently (real trained weights' regime); frames are smooth
-textured synthetics. Timing: one chained dispatch stream, flags fetched
-once at the end — except the backend gating fetch, which is a genuine
-per-keyframe sync in the real system and is timed where it happens.
+solve runs its f32+damping variant rather than the f64 eval-mode solve
+(measured 11.3x slower — PERF.md round 4). Random weights with
+decoder2:=decoder1 sharing make identical frames decode consistently
+(real trained weights' regime); frames are smooth textured synthetics.
+Two DECORRELATED frames run a second program variant with the real accept
+gate + fnn fallback, so the reject branch is exercised and timed in-loop
+(the synthetic regime's fractions cannot drive the gate organically —
+PERF.md round-4 postmortem). Timing: the headline FPS is one chained
+async dispatch stream with flags fetched once at the end (plus the
+genuine per-keyframe backend gating sync); a second pass replicates the
+production per-frame flags fetch and reports p50/p99 frame latency and
+synced_fps beside it.
 """
 
 import json
