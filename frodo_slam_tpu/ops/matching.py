@@ -492,7 +492,7 @@ def match(
     Returns idx_1_to_2 (b, h*w) int32 and valid (b, h*w, 1) bool.
     """
     b, h, w = X21.shape[:3]
-    if refine_impl in ("auto", "pallas", "fused") and (
+    if refine_impl in ("auto", "pallas", "pallas_tile", "fused") and (
             w % 128 or h % 8):
         # Mosaic tiling wants lane extents in 128-multiples and sublane
         # extents in 8-multiples; small/odd images (tiny harnesses) fall
