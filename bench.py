@@ -245,7 +245,18 @@ def main():
     bad = _synthetic_frames(np.random.default_rng(12345), h, w, 2)
     bad_idx = ()
     if n_frames >= 16 and not os.environ.get("FRODO_BENCH_NO_BAD_FRAMES"):
-        bad_idx = (n_frames // 3 + 1, 2 * n_frames // 3 + 1)
+        # decorrelated frames must sit OFF the keyframe cadence: at i % KF
+        # == 0 the keyframe branch takes precedence and a gate-rejected
+        # frame would drive backend_step as if it were a keyframe (ADVICE
+        # r4) — bump until clear of the cadence
+        def off_cadence(i):
+            while i % KF_EVERY == 0:
+                i += 1
+            return i
+
+        bad_idx = (off_cadence(n_frames // 3 + 1),
+                   off_cadence(2 * n_frames // 3 + 1))
+        assert all(i % KF_EVERY for i in bad_idx) and bad_idx[0] != bad_idx[1]
         for k, b in zip(bad_idx, bad):
             frames[k] = b
 

@@ -191,3 +191,23 @@ def make_config(path: Optional[str] = None, **overrides: Any) -> Config:
     if overrides:
         cfg = merge_config(cfg, overrides)
     return Config(cfg)
+
+
+def apply_x64_knob(cfg, entry_default: bool) -> bool:
+    """Set JAX x64 from the ``tpu.x64_eval`` config knob.
+
+    f64 eval numerics are an accuracy decision (f32 end-to-end measured
+    2.6x worse oracle ATE — PERF.md "f64 vs f32 eval-mode A/B") but cost
+    11.3x on the BA solve on TPU, so each entry point picks its default:
+    dataset/eval runners default ON (the accuracy contract of the eval
+    scripts), the live robot mode defaults OFF (the reference's robot mode
+    runs at full speed, run_vio.py:67-170). ``configs/realtime.yaml`` turns
+    it off explicitly for dataset runs that need the benched speed.
+    Returns the applied value.
+    """
+    import jax
+
+    v = (cfg.get("tpu", {}) or {}).get("x64_eval", None)
+    v = bool(entry_default) if v is None else bool(v)
+    jax.config.update("jax_enable_x64", v)
+    return v

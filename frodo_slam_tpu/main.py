@@ -20,17 +20,16 @@ import numpy as np
 
 
 def run(args) -> dict:
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-
-    from .config import make_config
+    from .config import apply_x64_knob, make_config
     from .data import load_dataset
     from .loader import apply_tpu_model_knobs, load_mast3r, load_retriever
     from .slam.system import SLAM
     from .utils import evaluate
 
     cfg = make_config(args.config)
+    # eval numerics default ON for dataset runs (the eval scripts' accuracy
+    # contract); configs/realtime.yaml runs x64 OFF at the benched speed
+    apply_x64_knob(cfg, entry_default=True)
     calib_yaml = None
     if args.calib:
         import yaml
@@ -82,6 +81,9 @@ def run(args) -> dict:
         cfg, params, model_cfg, (h, w), calib=calib, retrieval_db=retrieval,
         use_backend=True, use_reloc=retrieval is not None,
         single_thread=bool(cfg["single_thread"]), mesh=mesh,
+        # the reference saves keyframe PNGs with every --save-as run
+        # (main.py:332): retain host-side uint8 keyframe images when saving
+        keep_keyframe_images=bool(args.save_as),
     )
 
     viewer = None
@@ -151,6 +153,10 @@ def run(args) -> dict:
             np.asarray(slam.store.N[np.asarray(slots)])[:, None, None], 1)
         evaluate.save_reconstruction(logdir, f"{seq}.ply", poses, X, np.zeros_like(X), C)
         out["ply"] = str(logdir / f"{seq}.ply")
+        # keyframe PNG dump (reference main.py:332, evaluate.py:73-85)
+        evaluate.save_keyframes(logdir / "keyframes" / seq, stamps,
+                                slam.kf_images[-len(stamps):])
+        out["keyframes"] = str(logdir / "keyframes" / seq)
     return out
 
 

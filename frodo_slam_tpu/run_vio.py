@@ -41,16 +41,15 @@ def _load_calib_K(args, cfg):
 
 def run_dataset(args):
     """Replay a recorded session (run_vio.py:172-242)."""
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-
-    from .config import make_config
+    from .config import apply_x64_knob, make_config
     from .loader import apply_tpu_model_knobs, load_mast3r, load_retriever
     from .slam.odometry import OdometryData
     from .slam.system import SLAM
 
     cfg = make_config(args.config)
+    # replay defaults to eval numerics; realtime.yaml / tpu.x64_eval: false
+    # runs the benched full-speed configuration
+    apply_x64_knob(cfg, entry_default=True)
     K_frame = _load_calib_K(args, cfg)
     data = OdometryData(args.dataset, wall_clock=args.wall_clock, use_odometry=args.use_odometry)
 
@@ -105,16 +104,16 @@ def run_dataset(args):
 
 def run_robot(args):  # pragma: no cover - hardware
     """Live robot mode (run_vio.py:67-170): poll odometry + camera."""
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-
-    from .config import make_config
+    from .config import apply_x64_knob, make_config
     from .loader import apply_tpu_model_knobs, load_mast3r, load_retriever
     from .slam.odometry import StraightOrSpinOdometry
     from .slam.system import SLAM
 
     cfg = make_config(args.config)
+    # the live robot runs the REAL-TIME numerics by default (f32 + damped
+    # BA — the reference's robot mode runs full speed, run_vio.py:67-170);
+    # set tpu.x64_eval: true in the config to force eval numerics
+    apply_x64_knob(cfg, entry_default=False)
     K_frame = _load_calib_K(args, cfg)
     odo = StraightOrSpinOdometry(robot_type=args.robot_type)
     odo.start()

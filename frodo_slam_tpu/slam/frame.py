@@ -34,6 +34,17 @@ class Mode(enum.Enum):
 # pointmap fusion filters (frame.py:101-165)
 # ---------------------------------------------------------------------------
 
+def filtering_score(C: jax.Array, score_mode: str = "median") -> jax.Array:
+    """Scalar confidence score of one observation (``Frame.get_score``,
+    reference frame.py:93-99): the median or mean of the confidence map,
+    selected by ``tracking.filtering_score``."""
+    if score_mode == "median":
+        return jnp.median(C)
+    if score_mode == "mean":
+        return jnp.mean(C)
+    raise ValueError(f"unknown filtering_score {score_mode}")  # pragma: no cover
+
+
 def update_pointmap(
     X_old: jax.Array,
     C_old: jax.Array,
@@ -42,6 +53,7 @@ def update_pointmap(
     X: jax.Array,
     C: jax.Array,
     mode: str = "weighted_pointmap",
+    score_mode: str = "median",
 ):
     """Fuse a new pointmap observation into the canonical pointmap.
 
@@ -52,13 +64,28 @@ def update_pointmap(
     first_obs = N_updates == 0
 
     if mode == "first":
-        take_new = first_obs
+        # the reference replaces on N_updates == 1 — i.e. it keeps the FIRST
+        # post-init observation, not the init one (frame.py:113-116: init
+        # sets N_updates=1, then ``first`` overwrites once more before
+        # freezing)
+        take_new = N_updates <= 1
         X_new = jnp.where(take_new, X, X_old)
         C_new = jnp.where(take_new, C, C_old)
-        N_new = jnp.where(first_obs, 1, N)
+        N_new = jnp.where(take_new, 1, N)
     elif mode == "recent":
         X_new, C_new = X, C
         N_new = jnp.ones_like(N)
+    elif mode == "best_score":
+        # keep whichever whole observation scores best (frame.py:101-127).
+        # The reference carries ``self.score`` as state, but replacement
+        # copies C wholesale and sets score = get_score(C), so the invariant
+        # score == get_score(stored C) always holds — recomputing it here
+        # avoids threading a score channel through every Frame/store pytree.
+        better = filtering_score(C, score_mode) > filtering_score(C_old, score_mode)
+        take_new = first_obs | better
+        X_new = jnp.where(take_new, X, X_old)
+        C_new = jnp.where(take_new, C, C_old)
+        N_new = jnp.where(take_new, 1, N)
     elif mode == "indep_conf":
         mask = C > C_old
         X_new = jnp.where(first_obs, X, jnp.where(mask, X, X_old))
@@ -261,7 +288,7 @@ def kf_get_frame(store: KeyframeStore, slot: jax.Array) -> Frame:
 
 
 def kf_update_pointmap(store: KeyframeStore, slot, X, C, mode: str,
-                       enable=None) -> KeyframeStore:
+                       enable=None, score_mode: str = "median") -> KeyframeStore:
     """``enable``: optional traced bool — a masked in-place slot write.
 
     Guarding with ``jnp.where`` instead of ``lax.cond`` matters on TPU:
@@ -270,7 +297,8 @@ def kf_update_pointmap(store: KeyframeStore, slot, X, C, mode: str,
     of dynamic slice/update ops on one slot.
     """
     Xn, Cn, Nn, Un = update_pointmap(
-        store.X_canon[slot], store.C[slot], store.N[slot], store.N_updates[slot], X, C, mode
+        store.X_canon[slot], store.C[slot], store.N[slot], store.N_updates[slot],
+        X, C, mode, score_mode,
     )
     if enable is not None:
         Xn = jnp.where(enable, Xn, store.X_canon[slot])

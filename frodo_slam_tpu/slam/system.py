@@ -99,6 +99,7 @@ class SLAM:
         single_thread: bool = True,
         local_opt_mode: bool = False,
         mesh=None,
+        keep_keyframe_images: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -139,6 +140,7 @@ class SLAM:
             pixel_border=float(t.pixel_border),
             depth_eps=float(t.depth_eps),
             filtering_mode=str(t.filtering_mode),
+            filtering_score=str(t.get("filtering_score", "median")),
             use_calib=bool(cfg.use_calib) and calib is not None,
         )
         self.match_cfg = tuple(sorted(dict(cfg.matching).items()))
@@ -201,6 +203,12 @@ class SLAM:
         self.frame_count = 0
         self.loss_track_counter = 0
         self.kf_timestamps: List[float] = []
+        # host-side uint8 keyframe images for the reference's PNG export
+        # (main.py:332, evaluate.py:73-85). The device store keeps no images
+        # (147k-point maps only), so export needs an explicit opt-in ring —
+        # each capture is a ~1.7MB device->host fetch at keyframe rate.
+        self.keep_keyframe_images = bool(keep_keyframe_images)
+        self.kf_images: List[np.ndarray] = []
         self.atlas: List[dict] = []  # finished maps (main.py:187-239)
         self.active_kf: Optional[frame_mod.Frame] = None  # streaming KF state
         self.current_T_WC = np.asarray(lie.sim3_identity())
@@ -247,7 +255,8 @@ class SLAM:
         self._map_epoch += 1
         if int(self.store.n_size) > 0:
             stamps, poses = self.keyframe_poses()
-            self.atlas.append({"timestamps": stamps, "T_WC": poses})
+            self.atlas.append({"timestamps": stamps, "T_WC": poses,
+                               "images": self.kf_images[-len(stamps):]})
             log.warning("map reset: archiving %d keyframes to atlas #%d",
                         len(stamps), len(self.atlas))
         cap = self.store.capacity
@@ -261,6 +270,7 @@ class SLAM:
         self.mode = Mode.INIT
         self.loss_track_counter = 0
         self.kf_timestamps = []
+        self.kf_images = []
         self._idx_f2k = None
         self.last_odom_pose = None
         self.active_kf = None
@@ -354,16 +364,30 @@ class SLAM:
         feat, pos = self._encode(self.params, dev_img)
         return dev_img, feat, pos
 
+    def _capture_kf_image(self, frame: frame_mod.Frame):
+        """Fetch + denormalize the new keyframe's image into the host ring
+        (the reference keeps ``uimg`` per keyframe, frame.py:17-44)."""
+        if not self.keep_keyframe_images:
+            return
+        img = np.asarray(frame.img[0])  # ImgNorm'd (H, W, 3)
+        if self.portrait:
+            img = np.swapaxes(img, 0, 1)
+        self.kf_images.append(
+            (np.clip(img * 0.5 + 0.5, 0.0, 1.0) * 255).astype(np.uint8)
+        )
+
     def init_tracking(self, frame: frame_mod.Frame, timestamp: float):
         """Mono-inference map init (tracker.py:137-155)."""
         X, C = decode_mono(self.params, self.model_cfg, frame.feat, frame.pos, self.img_hw)
         Xn, Cn, Nn, Un = frame_mod.update_pointmap(
-            frame.X_canon, frame.C, frame.N, frame.N_updates, X, C, self.tcfg.filtering_mode
+            frame.X_canon, frame.C, frame.N, frame.N_updates, X, C,
+            self.tcfg.filtering_mode, self.tcfg.filtering_score,
         )
         frame = dataclasses.replace(frame, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
         self.active_kf = frame
         self.store = frame_mod.kf_append(self.store, frame)
         self.kf_timestamps.append(timestamp)
+        self._capture_kf_image(frame)
         if self.retrieval is not None:
             self.retrieval.update(frame.feat, add_after_query=True,
                                   k=int(self.cfg.retrieval.k),
@@ -464,6 +488,7 @@ class SLAM:
             self.current_T_WC = flags[3:11].copy()
             if new_kf:
                 self.kf_timestamps.append(timestamp)
+                self._capture_kf_image(fused)
                 self._idx_f2k = None
                 odom_factor = None
                 if odom_pose is not None and self.last_odom_pose is not None and len(self.kf_timestamps) > 1:
@@ -680,6 +705,7 @@ class SLAM:
                 )
                 self.kf_timestamps.pop()
                 return False
+            self._capture_kf_image(frame)
             self.retrieval.update(frame.feat, add_after_query=True,
                                   k=int(self.cfg.retrieval.k),
                                   min_thresh=float(self.cfg.retrieval.min_thresh),

@@ -60,6 +60,7 @@ class TrackingCfg(NamedTuple):
     pixel_border: float = -10.0
     depth_eps: float = 1e-6
     filtering_mode: str = "weighted_pointmap"
+    filtering_score: str = "median"  # best_score mode's scorer (frame.py:93-99)
     use_calib: bool = False
 
 
@@ -346,7 +347,8 @@ def track_step_post(
 
     # fuse the frame's fresh pointmap (tracker.py:177)
     Xn, Cn, Nn, Un = frame_mod.update_pointmap(
-        frame.X_canon, frame.C, frame.N, frame.N_updates, out.Xff, out.Cff, cfg.filtering_mode
+        frame.X_canon, frame.C, frame.N, frame.N_updates, out.Xff, out.Cff,
+        cfg.filtering_mode, cfg.filtering_score,
     )
     frame = dataclasses.replace(frame, X_canon=Xn, C=Cn, N=Nn, N_updates=Un)
 
@@ -429,7 +431,8 @@ def track_step_post(
     # cond — cond branches copy).
     Xkk = lie.sim3_act(T_CkCf, out.Xkf)
     Xu, Cu, Nu_, Uu = frame_mod.update_pointmap(
-        kf.X_canon, kf.C, kf.N, kf.N_updates, Xkk, out.Ckf, cfg.filtering_mode
+        kf.X_canon, kf.C, kf.N, kf.N_updates, Xkk, out.Ckf,
+        cfg.filtering_mode, cfg.filtering_score,
     )
     kf_upd = dataclasses.replace(
         kf,

@@ -66,6 +66,12 @@ def test_main_cli_runs_and_writes_outputs(rgb_folder, tmp_path, monkeypatch):
     rows = np.loadtxt(traj).reshape(-1, 8)  # TUM format: t x y z qx qy qz qw
     assert rows.shape[0] >= 1 and np.all(np.isfinite(rows))
     assert pathlib.Path(out["ply"]).exists()
+    # keyframe PNG dump (reference main.py:332): one PNG per live keyframe
+    kf_dir = pathlib.Path(out["keyframes"])
+    pngs = sorted(kf_dir.glob("*.png"))
+    assert len(pngs) == rows.shape[0]
+    img = cv2.imread(str(pngs[0]))
+    assert img is not None and img.shape[2] == 3 and img.max() > 0
 
 
 def test_main_cli_calib_yaml_reaches_calibrated_path(rgb_folder, tmp_path, monkeypatch):

@@ -441,8 +441,12 @@ def test_match_end_to_end_fused_agrees_with_shift():
     """Full matcher (iter_proj + occlusion gate + refine) with
     refine_impl='fused' vs the shift default on a consistent scene — the
     pipeline-level check that the fused pyramid's collision semantics do
-    not degrade real (near-injective, peaked-landscape) flows."""
-    h, w = 12, 16
+    not degrade real (near-injective, peaked-landscape) flows.
+
+    The shape must be Mosaic-legal (h%8==0, w%128==0) or match() silently
+    rewrites refine_impl='fused' to 'shift' (the small-shape guard) and the
+    test compares shift against itself (ADVICE r4)."""
+    h, w = 16, 128
     X = make_scene(h, w, 7)
     rng = np.random.default_rng(8)
     D = rng.normal(size=(h, w, 8)).astype(np.float32)

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from frodo_slam_tpu.ops import lie
 from frodo_slam_tpu.slam import frame as frame_mod
@@ -114,6 +115,93 @@ def test_update_pointmap_weighted():
     np.testing.assert_allclose(np.asarray(Xn2), 2.5)  # (2*1 + 2*4)/4
     np.testing.assert_allclose(np.asarray(Cn2), 4.0)
     assert int(Nn2) == 2
+
+
+class _RefFrameOracle:
+    """Stateful numpy transcription of the reference fusion semantics
+    (``Frame.update_pointmap`` + ``get_score``, reference frame.py:93-165):
+    init at N==0 sets N=N_updates=1 (and a score for best_score); ``first``
+    replaces once more at N_updates==1; ``best_score`` replaces whenever the
+    new observation's median/mean confidence beats the carried score."""
+
+    def __init__(self, mode, score_mode="median"):
+        self.mode, self.score_mode = mode, score_mode
+        self.X = self.C = None
+        self.N = self.N_updates = 0
+        self.score = None
+
+    def _score(self, C):
+        return np.median(C) if self.score_mode == "median" else np.mean(C)
+
+    def update(self, X, C):
+        if self.N == 0:
+            self.X, self.C, self.N, self.N_updates = X.copy(), C.copy(), 1, 1
+            if self.mode == "best_score":
+                self.score = self._score(C)
+            return
+        if self.mode == "first":
+            if self.N_updates == 1:
+                self.X, self.C, self.N = X.copy(), C.copy(), 1
+        elif self.mode == "recent":
+            self.X, self.C, self.N = X.copy(), C.copy(), 1
+        elif self.mode == "best_score":
+            s = self._score(C)
+            if s > self.score:
+                self.X, self.C, self.N, self.score = X.copy(), C.copy(), 1, s
+        elif self.mode == "indep_conf":
+            m = C > self.C
+            self.X = np.where(np.repeat(m, 3, axis=-1), X, self.X)
+            self.C = np.where(m, C, self.C)
+            self.N = 1
+        elif self.mode == "weighted_pointmap":
+            self.X = (self.C * self.X + C * X) / (self.C + C)
+            self.C = self.C + C
+            self.N += 1
+        elif self.mode == "weighted_spherical":
+            def sph(P):
+                r = np.linalg.norm(P, axis=-1, keepdims=True)
+                return np.concatenate(
+                    [r, np.arctan2(P[..., 1:2], P[..., 0:1]),
+                     np.arccos(P[..., 2:3] / r)], axis=-1)
+            s = (self.C * sph(self.X) + C * sph(X)) / (self.C + C)
+            r, phi, th = s[..., 0:1], s[..., 1:2], s[..., 2:3]
+            self.X = np.concatenate(
+                [r * np.sin(th) * np.cos(phi), r * np.sin(th) * np.sin(phi),
+                 r * np.cos(th)], axis=-1)
+            self.C = self.C + C
+            self.N += 1
+        self.N_updates += 1
+
+
+@pytest.mark.parametrize("mode", [
+    "first", "recent", "best_score", "indep_conf", "weighted_pointmap",
+    "weighted_spherical",
+])
+@pytest.mark.parametrize("score_mode", ["median", "mean"])
+def test_update_pointmap_parity_all_modes(mode, score_mode):
+    """All 6 reference fusion filters match the stateful oracle over a
+    5-observation sequence (incl. a low-confidence obs that best_score must
+    reject and a high-confidence one it must take)."""
+    if mode != "best_score" and score_mode == "mean":
+        pytest.skip("score_mode only affects best_score")
+    rng = np.random.default_rng(3)
+    hw = 32
+    ref = _RefFrameOracle(mode, score_mode)
+    X = jnp.zeros((hw, 3)); C = jnp.zeros((hw, 1))
+    N = jnp.asarray(0, jnp.int32); U = jnp.asarray(0, jnp.int32)
+    conf_scales = [1.0, 0.5, 3.0, 0.2, 2.0]  # drives best_score both ways
+    for k, cs in enumerate(conf_scales):
+        Xo = rng.normal(size=(hw, 3)).astype(np.float32)
+        Xo[:, 2] = np.abs(Xo[:, 2]) + 1.0  # positive z keeps arccos stable
+        Co = (rng.uniform(0.5, 1.5, size=(hw, 1)) * cs).astype(np.float32)
+        ref.update(Xo, Co)
+        X, C, N, U = frame_mod.update_pointmap(
+            X, C, N, U, jnp.asarray(Xo), jnp.asarray(Co), mode, score_mode)
+        np.testing.assert_allclose(np.asarray(X), ref.X, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"X diverged at obs {k}")
+        np.testing.assert_allclose(np.asarray(C), ref.C, rtol=1e-5, atol=1e-6)
+        assert int(N) == ref.N, f"N at obs {k}"
+        assert int(U) == ref.N_updates
 
 
 def test_keyframe_ring_buffer():
