@@ -207,11 +207,25 @@ def main():
     timeit("backend solve_gn_rays (10 it, 126 e)", solve, T0, edges_w,
            fetch_base=fetch_base)
     for iters in (1, 2, 5):
-        cfg_i = dataclasses.replace(ba_cfg, max_iters=iters)
+        cfg_i = ba_cfg._replace(max_iters=iters)
         solve_i = jax.jit(lambda T, e, c=cfg_i: solve_gn_rays(
             c, 1, T, X_win, C_win, e, odom0, s_bar))
         timeit(f"backend solve_gn_rays ({iters} it)", solve_i, T0, edges_w,
                fetch_base=fetch_base)
+
+    # merged matcher+post single dispatch (dispatch-floor A/B): the tunnel
+    # costs ~1 ms per dispatch; post is only ~2 ms of work
+    merged = jax.jit(lambda k, f, r1, r2, i: track_step_post(
+        tcfg, (h, w), k, f, r1, r2,
+        *matching.match(r1["pts3d"], r2["pts3d"], r1["desc"], r2["desc"], i,
+                        **warm_cfg), None))
+    timeit("merged warm match+post (1 dispatch)", merged, kf, fr, res11,
+           res21, idx0, fetch_base=fetch_base)
+
+    # DPT-head cost split: decode without heads
+    dec_feats = jax.jit(lambda p, f, po: mast3r.decode(p, cfg, f, po, f, po))
+    timeit("decoder only (no heads)", dec_feats, params, feat, pos,
+           fetch_base=fetch_base)
 
 
 if __name__ == "__main__":

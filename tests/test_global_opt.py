@@ -571,3 +571,51 @@ def test_add_consecutive_half_matches_add_factors():
             atol=1e-3, err_msg=f)
 
 
+
+
+def test_eviction_fallback_is_counted_and_logged(caplog):
+    """When everything left at max_edges pressure is a loop closure (no old
+    consecutive pair qualifies), the fallback evicts pair 0 — that loss must
+    be VISIBLE: counted on the graph and logged as a warning (VERDICT r4
+    weak #6)."""
+    import logging
+
+    from frodo_slam_tpu.models import mast3r
+    from frodo_slam_tpu.slam.backend import BackendGraph
+    from frodo_slam_tpu.slam.global_opt import empty_edges as _ee
+
+    h, w = 4, 8
+    hw = h * w
+    mcfg = mast3r.tiny_config()
+    params = mast3r.init_params(jax.random.PRNGKey(0), mcfg)
+    g = BackendGraph(params, mcfg, BAConfig(), (), (h, w), max_edges=8,
+                     max_odom=2)
+    g.edges = _ee(2 * 8, hw, with_cache=False)
+    g.max_edges = 3
+
+    def payload():
+        return (
+            jnp.arange(hw, dtype=jnp.int32), jnp.arange(hw, dtype=jnp.int32),
+            jnp.ones((hw,), bool), jnp.ones((hw,), bool),
+            jnp.full((hw,), 4.0), jnp.full((hw,), 4.0),
+        )
+
+    # loop-closure pairs only (non-consecutive) + the two newest-touching
+    # consecutive pairs the policy refuses to evict
+    g._insert_pair(0, 5, *payload())
+    g._insert_pair(1, 6, *payload())
+    g._insert_pair(2, 7, *payload())
+    assert g.evict_fallback_count == 0
+    with caplog.at_level(logging.WARNING):
+        g._insert_pair(3, 8, *payload())  # forces the fallback
+    assert g.evict_fallback_count == 1
+    assert (0, 5) not in g._pairs  # the oldest loop pair died
+    assert any("eviction fallback" in r.message for r in caplog.records)
+
+    # ...and the preferred path never touches the counter: insert an OLD
+    # consecutive pair, then overflow again — it is the victim, no fallback
+    g._insert_pair(1, 2, *payload())  # evicts via fallback (count 2)
+    n_fb = g.evict_fallback_count
+    g._insert_pair(4, 9, *payload())  # (1, 2) qualifies: preferred eviction
+    assert g.evict_fallback_count == n_fb
+    assert (1, 2) not in g._pairs and (4, 9) in g._pairs
