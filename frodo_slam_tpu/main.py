@@ -97,22 +97,35 @@ def run(args) -> dict:
 
     loader = PrefetchLoader(dataset, slam.preprocess, depth=3, max_frames=args.max_frames)
     fps_t0, fps_count = time.time(), 0
-    # 1-frame lookahead: grab_rgb dispatches the NEXT frame's encode before
-    # its blocking flags fetch, hiding the encode + preprocessing behind the
-    # per-frame host sync
-    pending = None
-    for timestamp, dev_img in loader:
-        if viewer is not None:
-            viewer.wait_if_paused()  # browser pause/step control channel
-        if pending is not None:
-            slam.grab_rgb(pending[1], timestamp=float(pending[0]), next_img=dev_img)
+    if bool(cfg["tpu"].get("pipelined_frontend", False)):
+        # one-frame-pipelined frontend (realtime profile): each frame's
+        # flags fetch overlaps the next frame's chain (grab_rgb_pipelined)
+        for timestamp, dev_img in loader:
+            if viewer is not None:
+                viewer.wait_if_paused()
+            slam.grab_rgb_pipelined(dev_img, timestamp=float(timestamp))
             fps_count += 1
             if fps_count == 30:
                 print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")
                 fps_t0, fps_count = time.time(), 0
-        pending = (timestamp, dev_img)
-    if pending is not None:
-        slam.grab_rgb(pending[1], timestamp=float(pending[0]))
+        slam.flush()
+    else:
+        # 1-frame lookahead: grab_rgb dispatches the NEXT frame's encode
+        # before its blocking flags fetch, hiding the encode +
+        # preprocessing behind the per-frame host sync
+        pending = None
+        for timestamp, dev_img in loader:
+            if viewer is not None:
+                viewer.wait_if_paused()  # browser pause/step control channel
+            if pending is not None:
+                slam.grab_rgb(pending[1], timestamp=float(pending[0]), next_img=dev_img)
+                fps_count += 1
+                if fps_count == 30:
+                    print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")
+                    fps_t0, fps_count = time.time(), 0
+            pending = (timestamp, dev_img)
+        if pending is not None:
+            slam.grab_rgb(pending[1], timestamp=float(pending[0]))
     slam.terminate()
     if viewer is not None:
         viewer.stop()

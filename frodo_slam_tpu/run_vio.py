@@ -90,7 +90,10 @@ def run_dataset(args):
                 print(f"live viewer: http://127.0.0.1:{viewer.port}/")
         if viewer is not None:
             viewer.wait_if_paused()  # browser pause/step control channel
-        slam.grab_rgb(img, timestamp=ts, odom_pose=odom_pose)
+        if bool(cfg["tpu"].get("pipelined_frontend", False)):
+            slam.grab_rgb_pipelined(img, timestamp=ts, odom_pose=odom_pose)
+        else:
+            slam.grab_rgb(img, timestamp=ts, odom_pose=odom_pose)
         fps_count += 1
         if fps_count == 30:
             print(f"FPS: {fps_count / (time.time() - fps_t0):.2f}")
@@ -148,8 +151,13 @@ def run_robot(args):  # pragma: no cover - hardware
 
                     viewer = WebViewer(slam).start()  # noqa: F841
                     print(f"live viewer: http://127.0.0.1:{viewer.port}/")
-            slam.grab_rgb(img, timestamp=ts,
-                          odom_pose=odom_pose if args.use_odometry else None)
+            if bool(cfg["tpu"].get("pipelined_frontend", False)):
+                slam.grab_rgb_pipelined(
+                    img, timestamp=ts,
+                    odom_pose=odom_pose if args.use_odometry else None)
+            else:
+                slam.grab_rgb(img, timestamp=ts,
+                              odom_pose=odom_pose if args.use_odometry else None)
     finally:
         odo.stop()
         if slam is not None:

