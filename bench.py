@@ -344,7 +344,7 @@ def main():
                     _invert_match(idx_j2i.astype(jnp.int32), vm_i), seed_cfg)
             else:
                 (idx_seed, seeded), mcfg_dir = (None, None), cold_cfg
-            idx_i2j, vm_j = matching_ops.match(
+            idx_i2j, vm_j = matching_ops.match_split(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
                 idx_seed, **mcfg_dir)
             if seeded is not None:  # drop identity-hole seeds (backend.py)

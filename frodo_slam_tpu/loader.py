@@ -58,6 +58,14 @@ def load_mast3r(path: Optional[str] = None, cfg: Optional[mast3r.MASt3RConfig] =
         }
         cfg = dataclasses.replace(mast3r.tiny_config(), **reps)
     params = mast3r.init_params(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("FRODO_RANDOM_SHARE_DECODER"):
+        # benchmark-mode random weights: share decoder2/head2 := decoder/
+        # head1 so identical frames decode consistently and the matcher/
+        # tracker run their success branches (bench.py does the same; with
+        # independent random weights cross-view pointmaps never agree and
+        # every frame is legitimately rejected)
+        params["head2"] = params["head1"]
+        params["dec_blocks2"] = params["dec_blocks"]
     return mast3r.cast_transformer_params(params, cfg.dtype), cfg
 
 

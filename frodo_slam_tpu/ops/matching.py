@@ -60,7 +60,7 @@ def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
     return rays_with_grad, pts3d_norm, p_init
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "unroll"))
 def iter_proj(
     rays_with_grad_img: jax.Array,
     pts3d_norm: jax.Array,
@@ -68,6 +68,7 @@ def iter_proj(
     max_iter: int = 10,
     lambda_init: float = 1e-8,
     cost_thresh: float = 1e-6,
+    unroll: bool = True,
 ):
     """LM iteration in pixel space minimizing ||ray(u,v) - target||^2.
 
@@ -166,7 +167,7 @@ def iter_proj(
 
     u, v, lam, converged, _ = jax.lax.fori_loop(
         0, max_iter, body, (u, v, lam, converged, samp0),
-        unroll=True,  # ~1ms/frame faster than the rolled loop (measured)
+        unroll=unroll,  # ~1ms/frame faster unrolled in ISOLATION (measured)
     )
     return jnp.stack([u, v], axis=-1), converged
 
@@ -468,57 +469,26 @@ def _refine_dispatch(impl: str):
     return refine_matches_shift
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "max_iter",
-        "radius",
-        "dilation_max",
-        "refine_impl",
-    ),
-)
-def match(
-    X11: jax.Array,
-    X21: jax.Array,
-    D11: jax.Array,
-    D21: jax.Array,
-    idx_1_to_2_init=None,
-    *,
-    max_iter: int = 10,
-    lambda_init: float = 1e-8,
-    convergence_thresh: float = 1e-6,
-    dist_thresh: float = 1e-1,
-    radius: int = 3,
-    dilation_max: int = 5,
-    ft_matching_threshold: float = 0.8,
-    refine_impl: str = "auto",
-):
-    """Full matcher (match_iterative_proj, matching.py:52-92).
-
-    X11/X21: (b, h, w, 3) pointmaps; D11/D21: (b, h, w, f) descriptors.
-    Returns idx_1_to_2 (b, h*w) int32 and valid (b, h*w, 1) bool.
-    """
-    b, h, w = X21.shape[:3]
+def _resolve_refine_impl(refine_impl: str, h: int, w: int) -> str:
     if refine_impl in ("auto", "pallas", "pallas_tile", "fused") and (
             w % 128 or h % 8):
         # Mosaic tiling wants lane extents in 128-multiples and sublane
         # extents in 8-multiples; small/odd images (tiny harnesses) fall
         # back to the XLA shift formulation (same semantics, measured equal
         # match quality). Production 288x512 always takes the kernel.
-        refine_impl = "shift"
+        return "shift"
+    return refine_impl
 
-    rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
-        X11, X21, idx_1_to_2_init
-    )
-    p1, valid_proj2 = iter_proj(
-        rays_with_grad,
-        pts3d_norm,
-        p_init,
-        max_iter=max_iter,
-        lambda_init=lambda_init,
-        cost_thresh=convergence_thresh,
-    )
-    p1 = jnp.floor(p1).astype(jnp.int32)  # torch .long() truncation
+
+def _match_post_project(
+    X11, X21, D11, D21, p1f, converged, *,
+    dist_thresh, radius, dilation_max, ft_matching_threshold, refine_impl,
+):
+    """Everything after the LM projection: occlusion gate + refine + score
+    gate (matching.py:71-92). ``p1f``: (b, hw, 2) float LM output."""
+    b, h, w = X21.shape[:3]
+    p1 = jnp.floor(p1f).astype(jnp.int32)  # torch .long() truncation
+    valid_proj2 = converged
 
     # Occlusion gate: 3D distance between matched points (matching.py:71-76).
     # The refine step needs the descriptor rows at the same centers — fold
@@ -558,3 +528,113 @@ def match(
 
     idx_1_to_2 = pixel_to_lin(p1, w)
     return idx_1_to_2, valid_proj2[..., None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "radius",
+        "dilation_max",
+        "refine_impl",
+    ),
+)
+def match(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    idx_1_to_2_init=None,
+    *,
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    convergence_thresh: float = 1e-6,
+    dist_thresh: float = 1e-1,
+    radius: int = 3,
+    dilation_max: int = 5,
+    ft_matching_threshold: float = 0.8,
+    refine_impl: str = "auto",
+):
+    """Full matcher as ONE program (match_iterative_proj, matching.py:52-92).
+
+    X11/X21: (b, h, w, 3) pointmaps; D11/D21: (b, h, w, f) descriptors.
+    Returns idx_1_to_2 (b, h*w) int32 and valid (b, h*w, 1) bool.
+
+    Production host-level callers should prefer :func:`match_split`: the
+    monolithic program runs the LM loop ~5x slower in-situ than the same
+    ops dispatched separately (XLA virtualizes the precombined-corner
+    table into every gather of the fused program; measured cold d=0:
+    29.3 ms monolithic vs 7.5 ms split — PERF.md round 5). This one-jit
+    form remains for in-jit callers and small shapes.
+    """
+    b, h, w = X21.shape[:3]
+    refine_impl = _resolve_refine_impl(refine_impl, h, w)
+    rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
+        X11, X21, idx_1_to_2_init
+    )
+    p1f, converged = iter_proj(
+        rays_with_grad,
+        pts3d_norm,
+        p_init,
+        max_iter=max_iter,
+        lambda_init=lambda_init,
+        cost_thresh=convergence_thresh,
+    )
+    return _match_post_project(
+        X11, X21, D11, D21, p1f, converged,
+        dist_thresh=dist_thresh, radius=radius, dilation_max=dilation_max,
+        ft_matching_threshold=ft_matching_threshold, refine_impl=refine_impl,
+    )
+
+
+_prep_jit = jax.jit(prep_for_iter_proj)
+_match_rest_jit = jax.jit(
+    _match_post_project,
+    static_argnames=("radius", "dilation_max", "refine_impl"),
+)
+
+
+def match_split(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    idx_1_to_2_init=None,
+    *,
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    convergence_thresh: float = 1e-6,
+    dist_thresh: float = 1e-1,
+    radius: int = 3,
+    dilation_max: int = 5,
+    ft_matching_threshold: float = 0.8,
+    refine_impl: str = "auto",
+):
+    """The production matcher: THREE chained dispatches (prep | LM | rest),
+    semantically identical to :func:`match`.
+
+    Why not one jit: fused into one program, XLA refuses to materialize the
+    21 MB precombined-corner table and instead folds its construction into
+    every LM-iteration gather — per-iteration cost explodes ~5x (measured
+    0.55 ms/iter isolated vs 2.8 ms/iter monolithic; cold d=0 matcher
+    29.3 -> 7.5 ms as separate dispatches, scratch/r5_phantom_probe.py).
+    Program boundaries force committed layouts, exactly the round-2
+    model/matcher-split lesson one level down. Host-only (dispatches jits);
+    in-jit callers use :func:`match`.
+    """
+    b, h, w = X21.shape[:3]
+    refine_impl = _resolve_refine_impl(refine_impl, h, w)
+    rays_with_grad, pts3d_norm, p_init = _prep_jit(X11, X21, idx_1_to_2_init)
+    p1f, converged = iter_proj(
+        rays_with_grad,
+        pts3d_norm,
+        p_init,
+        max_iter=max_iter,
+        lambda_init=lambda_init,
+        cost_thresh=convergence_thresh,
+    )
+    return _match_rest_jit(
+        X11, X21, D11, D21, p1f, converged,
+        dist_thresh=dist_thresh, radius=radius, dilation_max=dilation_max,
+        ft_matching_threshold=ft_matching_threshold, refine_impl=refine_impl,
+    )

@@ -340,7 +340,7 @@ class BackendGraph:
             # gated wholesale, global_opt.py:117-127).
             idx_seed, seeded = _invert_match(
                 idx_j2i.astype(jnp.int32), valid_match_i)
-            idx_i2j, valid_match_j = matching.match(
+            idx_i2j, valid_match_j = matching.match_split(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
                 idx_seed, **seed_cfg,
             )
@@ -349,7 +349,7 @@ class BackendGraph:
             # per-pixel masked, not gated wholesale, global_opt.py:117-127)
             valid_match_j = valid_match_j & seeded[..., None]
         else:
-            idx_i2j, valid_match_j = matching.match(
+            idx_i2j, valid_match_j = matching.match_split(
                 res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
                 None, **cold_cfg,
             )

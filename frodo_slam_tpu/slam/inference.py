@@ -89,7 +89,7 @@ def match_asymmetric(params, cfg, match_cfg, feat_f, pos_f, feat_k, pos_k, img_h
     D21 = res21["desc"]
 
     cold_cfg, warm_cfg = matching.split_match_cfg(match_cfg)
-    idx_f2k, valid_match_k = matching.match(
+    idx_f2k, valid_match_k = matching.match_split(
         X11, X21, D11, D21, idx_f2k_init,
         **(warm_cfg if idx_f2k_init is not None else cold_cfg),
     )
@@ -163,7 +163,7 @@ def match_symmetric(params, cfg, match_cfg, feat_i, pos_i, feat_j, pos_j, img_hw
     D11 = jnp.concatenate([D[0], D[2]], axis=0)
     D21 = jnp.concatenate([D[1], D[3]], axis=0)
 
-    idx_1_to_2, valid_match_2 = matching.match(X11, X21, D11, D21, None, **cold_cfg)
+    idx_1_to_2, valid_match_2 = matching.match_split(X11, X21, D11, D21, None, **cold_cfg)
 
     idx_i2j = idx_1_to_2[:n]
     idx_j2i = idx_1_to_2[n:]

@@ -297,7 +297,7 @@ def track_step(
         params, model_cfg, frame.feat, frame.pos, kf.feat, kf.pos, img_hw
     )
     cold_cfg, warm_cfg = matching.split_match_cfg(dict(match_cfg))
-    idx_f2k, valid_match_k = matching.match(
+    idx_f2k, valid_match_k = matching.match_split(
         res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
         idx_f2k_init,
         **(warm_cfg if idx_f2k_init is not None else cold_cfg),

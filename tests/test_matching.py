@@ -562,3 +562,33 @@ def test_invert_match_roundtrip():
             assert inv[q] == q and not seeded[q]  # hole: identity, unmasked
         else:
             assert inv[q] == p and seeded[q]
+
+
+def test_match_split_equals_monolithic():
+    """match_split (the production 3-dispatch matcher) must be bit-identical
+    to the monolithic match program — same ops, only program boundaries
+    differ (the in-situ LM blowup fix, PERF.md round 5)."""
+    h, w = 16, 32
+    X = make_scene(h, w, 5)
+    rng = np.random.default_rng(4)
+    D = rng.normal(size=(h, w, 8)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    args = (
+        jnp.asarray(X)[None], jnp.asarray(X)[None],
+        jnp.asarray(D)[None], jnp.asarray(D)[None],
+    )
+    for kw in (
+        dict(radius=2, dilation_max=3, refine_impl="shift"),
+        dict(radius=2, dilation_max=0),  # score-only warm path
+        dict(radius=0, dilation_max=0),  # no refine at all
+    ):
+        idx_m, valid_m = matching.match(*args, **kw)
+        idx_s, valid_s = matching.match_split(*args, **kw)
+        np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_s))
+        np.testing.assert_array_equal(np.asarray(valid_m), np.asarray(valid_s))
+    # warm-seeded variant
+    idx0 = jnp.broadcast_to(jnp.arange(h * w, dtype=jnp.int32)[None], (1, h * w))
+    a = matching.match(*args, idx0, max_iter=4, dilation_max=0)
+    b = matching.match_split(*args, idx0, max_iter=4, dilation_max=0)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
