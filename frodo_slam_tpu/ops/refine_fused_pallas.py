@@ -35,9 +35,18 @@ Here the recentring stays ON DEVICE in image space:
   per-query rows.
 
 Collision semantics (documented divergence): a contested pixel keeps
-exactly one payload per level; the loser stops refining but reports its
-best-so-far via its ghost (genuine descriptor dots at genuine probe
-positions; the caller's seed guarantees at least the center score). The
+exactly one payload per level; the loser stops refining but reports A
+genuine snapshot via its ghost (genuine descriptor dots at genuine probe
+positions, score >= the caller's center seed). Precisely (ADVICE r4): a
+payload snapshots a ghost at EVERY level's pixel, so an evicted qid may
+own ghost records at several pixels; the readout scatter resolves those
+duplicates arbitrarily (XLA unspecified-winner), so the reported result
+is *some* level's snapshot, not necessarily the best-scoring one.
+Resolving by max score would cost one scatter-max + one gather + one
+conditional scatter over 147k rows (~2-5 ms, the measured row-granular
+op floor) per cold refine — declined for a contested-evictee-only
+semantic nicety; clearing stale ghosts in-kernel would need a value
+scatter, which Mosaic cannot lower (see layout notes below). The
 per-level XLA formulations instead let the loser keep refining from its
 old center in later levels — a strictly-richer search for contested
 queries, which real near-injective matcher flows rarely create (the

@@ -321,6 +321,20 @@ class WebViewer:
                 if self.path.split("?")[0] != "/control":
                     self._send(404, "text/plain", b"not found")
                     return
+                # CSRF guard (ADVICE r4): a fetch() with a string body is a
+                # "simple request" — ANY web page open in the operator's
+                # browser could otherwise pause the run or inject WASD
+                # teleop that reaches a real robot. Accept control messages
+                # only from our own origin (the served page) or
+                # origin-less local tools (curl).
+                origin = self.headers.get("Origin")
+                host = self.headers.get("Host", "")
+                if origin is not None:
+                    from urllib.parse import urlsplit
+
+                    if urlsplit(origin).netloc != host:
+                        self._send(403, "text/plain", b"cross-origin control rejected")
+                        return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     msg = json.loads(self.rfile.read(n) or b"{}")

@@ -239,6 +239,29 @@ def test_web_viewer_control_channel():
         assert state()["conf_threshold"] == 3.5
         post({"teleop": "w"})
         assert settled(lambda: teleops == ["w"])
+
+        # CSRF guard (ADVICE r4): a cross-origin control POST is rejected
+        # (any web page in the operator's browser can send one — teleop
+        # must not reach a robot from it); same-origin posts still pass
+        import urllib.error
+
+        evil = urllib.request.Request(
+            base + "/control", data=json.dumps({"teleop": "s"}).encode(),
+            method="POST", headers={"Origin": "http://evil.example"},
+        )
+        try:
+            urllib.request.urlopen(evil, timeout=10)
+            raise AssertionError("cross-origin control was accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        _t.sleep(0.05)
+        assert teleops == ["w"], "cross-origin teleop reached the callback"
+        ok_req = urllib.request.Request(
+            base + "/control", data=json.dumps({"teleop": "a"}).encode(),
+            method="POST", headers={"Origin": f"http://127.0.0.1:{port}"},
+        )
+        assert urllib.request.urlopen(ok_req, timeout=10).status == 200
+        assert settled(lambda: teleops == ["w", "a"])
     finally:
         stop.set()
         t.join(timeout=5)
