@@ -550,3 +550,42 @@ def test_grab_rgb_pipelined_matches_sync(tiny_model):
     np.testing.assert_allclose(poses_a, poses_b, atol=1e-6)
     # double flush is a no-op
     assert slam_b.flush() is None
+
+
+def test_grab_rgb_pipelined_loss_and_reset_match_sync(tiny_model):
+    """The pipelined frontend's loss handling (counter -> map reset ->
+    re-init) resolves one frame deferred but must reach the SAME states and
+    results as the sequential loop — including the reset clearing the
+    pending slot."""
+    params, mcfg = tiny_model
+    bad_params = mast3r.init_params(jax.random.PRNGKey(3), mcfg)  # heads differ
+    imgs = [_img(i * 7) for i in range(6)]  # random frames: tracking fails
+
+    def drive(pipelined):
+        cfg = make_config(tpu={"max_keyframes": 8, "max_edges": 8,
+                               "max_odom_edges": 8})
+        slam = SLAM(cfg, bad_params, mcfg, (H, W), retrieval_db=None,
+                    use_backend=False, use_reloc=False, single_thread=True)
+        out = []
+        for i, im in enumerate(imgs):
+            if pipelined:
+                r = slam.grab_rgb_pipelined(im, timestamp=float(i))
+                if r is not None:
+                    out.append(r)
+            else:
+                out.append(slam.grab_rgb(im, timestamp=float(i)))
+        if pipelined:
+            r = slam.flush()
+            if r is not None:
+                out.append(r)
+        state = (slam.mode, int(slam.store.n_total), slam.loss_track_counter,
+                 len(slam.atlas))
+        slam.terminate()
+        return out, state
+
+    ref, st_ref = drive(False)
+    pipe, st_pipe = drive(True)
+    assert st_ref == st_pipe
+    assert len(ref) == len(pipe)
+    for k, (a, b) in enumerate(zip(ref, pipe)):
+        assert a[0] == b[0] and a[2] == b[2], f"frame {k}"
