@@ -619,7 +619,9 @@ def match_split(
     0.55 ms/iter isolated vs 2.8 ms/iter monolithic; cold d=0 matcher
     29.3 -> 7.5 ms as separate dispatches, scratch/r5_phantom_probe.py).
     Program boundaries force committed layouts, exactly the round-2
-    model/matcher-split lesson one level down. Host-only (dispatches jits);
+    model/matcher-split lesson one level down. The tracker composes the
+    same pieces directly, fusing the rest stage with its bookkeeping
+    (tracker._match_rest_and_post). Host-only (dispatches jits);
     in-jit callers use :func:`match`.
     """
     b, h, w = X21.shape[:3]

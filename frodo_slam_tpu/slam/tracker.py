@@ -285,11 +285,15 @@ def track_step(
     keyframe rate; nothing ring-buffer-sized crosses the jit boundary per
     frame (that cost ~1s/frame of buffer traffic).
 
-    THREE dispatches, not one: model (decode+heads), dense matcher, and
-    bookkeeping (track_step_post). The dispatches chain asynchronously on
-    device, and the program boundaries reset XLA's layout/fusion choices —
-    the matcher inside one monolithic program ran ~2.5x slower than with
-    boundary-committed inputs (87 -> 65 ms/frame measured on v5e).
+    FOUR dispatches, not one: model (decode+heads), matcher prep, the LM
+    projector, and matcher-rest + bookkeeping fused. The dispatches chain
+    asynchronously on device, and the program boundaries reset XLA's
+    layout/fusion choices — the matcher inside one monolithic program ran
+    the LM loop ~5x slower (XLA folds the corner-table build into every
+    gather; PERF.md round 5), and model+matcher fused ran ~2.5x slower
+    (round 2). Matcher-rest and bookkeeping fuse fine (device-neutral,
+    measured) and save one ~1-3 ms tunnel RPC per frame on the synced
+    path.
 
     Returns (kf_next, fused_frame, TrackResult).
     """
@@ -297,14 +301,47 @@ def track_step(
         params, model_cfg, frame.feat, frame.pos, kf.feat, kf.pos, img_hw
     )
     cold_cfg, warm_cfg = matching.split_match_cfg(dict(match_cfg))
-    idx_f2k, valid_match_k = matching.match_split(
-        res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
-        idx_f2k_init,
-        **(warm_cfg if idx_f2k_init is not None else cold_cfg),
+    mc = dict(warm_cfg if idx_f2k_init is not None else cold_cfg)
+    h, w = img_hw
+    X11, X21 = res11["pts3d"], res21["pts3d"]
+    rays, tgt, p0 = matching._prep_jit(X11, X21, idx_f2k_init)
+    p1f, converged = matching.iter_proj(
+        rays, tgt, p0,
+        max_iter=mc.get("max_iter", 10),
+        lambda_init=mc.get("lambda_init", 1e-8),
+        cost_thresh=mc.get("convergence_thresh", 1e-6),
     )
-    # NO eager ops between the three dispatches: the AsymOut flattening
-    # happens INSIDE track_step_post's program. Eager reshapes here were 12
+    # NO eager ops between the dispatches: the AsymOut flattening happens
+    # INSIDE the fused rest+post program. Eager reshapes here were 12
     # extra per-frame RPCs through the remote-TPU tunnel (~1-3 ms each).
+    return _match_rest_and_post(
+        cfg, img_hw, kf, frame, res11, res21, p1f, converged, K,
+        dist_thresh=mc.get("dist_thresh", 1e-1),
+        radius=mc.get("radius", 3),
+        dilation_max=mc.get("dilation_max", 5),
+        ft_matching_threshold=mc.get("ft_matching_threshold", 0.8),
+        refine_impl=matching._resolve_refine_impl(
+            mc.get("refine_impl", "auto"), h, w),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "img_hw", "radius", "dilation_max", "refine_impl"))
+def _match_rest_and_post(
+    cfg: TrackingCfg, img_hw, kf: Frame, frame: Frame, res11, res21,
+    p1f, converged, K,
+    *, dist_thresh, radius, dilation_max, ft_matching_threshold, refine_impl,
+):
+    """Matcher rest (occlusion gate + refine + score gate) fused with the
+    tracking bookkeeping in ONE dispatch — device-neutral vs two dispatches
+    (13.7 vs 14.0 ms measured, scratch/r5_matcher_probe.py) and one fewer
+    host RPC per frame."""
+    idx_f2k, valid_match_k = matching._match_post_project(
+        res11["pts3d"], res21["pts3d"], res11["desc"], res21["desc"],
+        p1f, converged,
+        dist_thresh=dist_thresh, radius=radius, dilation_max=dilation_max,
+        ft_matching_threshold=ft_matching_threshold, refine_impl=refine_impl,
+    )
     return track_step_post(
         cfg, img_hw, kf, frame, res11, res21, idx_f2k, valid_match_k, K
     )
