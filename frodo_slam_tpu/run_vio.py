@@ -47,6 +47,8 @@ def run_dataset(args):
     from .slam.system import SLAM
 
     cfg = make_config(args.config)
+    if getattr(args, "use_multiple_gpu", False):
+        cfg["tpu"]["placement"] = "overlap"  # reference --use_multiple_gpu
     # replay defaults to eval numerics; realtime.yaml / tpu.x64_eval: false
     # runs the benched full-speed configuration
     apply_x64_knob(cfg, entry_default=True)
@@ -113,6 +115,8 @@ def run_robot(args):  # pragma: no cover - hardware
     from .slam.system import SLAM
 
     cfg = make_config(args.config)
+    if getattr(args, "use_multiple_gpu", False):
+        cfg["tpu"]["placement"] = "overlap"  # reference --use_multiple_gpu
     # the live robot runs the REAL-TIME numerics by default (f32 + damped
     # BA — the reference's robot mode runs full speed, run_vio.py:67-170);
     # set tpu.x64_eval: true in the config to force eval numerics
@@ -177,6 +181,12 @@ def build_parser():
     p.add_argument("--wall-clock", action="store_true")
     p.add_argument("--every_n_frames", type=int, default=4)  # run_vio.py:218
     p.add_argument("--no-retrieval", action="store_true")
+    # reference CLI contract (run_vio.py:245-277): backend on a second
+    # device. The TPU analogue is the overlap placement (tracker keeps
+    # device 0, backend mesh on devices[1:]) — already the default when
+    # >1 device is visible; the flag forces it explicitly.
+    p.add_argument("--use_multiple_gpu", action="store_true",
+                   help="force tpu.placement=overlap (backend on devices[1:])")
     return p
 
 
