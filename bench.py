@@ -448,6 +448,13 @@ def main():
     # FRODO_BENCH_THREADED=0 forces the inline eval contract
     # (single_thread=True) for A/Bs.
     threaded = os.environ.get("FRODO_BENCH_THREADED", "1") not in ("0", "")
+    # FRODO_BENCH_KF_CAP_ONLY=1: fixed KF_EVERY cadence (the round-1..4
+    # methodology) instead of the real unique-match policy — for
+    # cross-config A/Bs where the policy's cadence response would confound
+    # the lever under test (e.g. bf16 heads shift the synthetic regime's
+    # unique fractions across the threshold: kf_frames 15 -> 34, PERF.md
+    # round-5 cadence note)
+    kf_cap_only = bool(os.environ.get("FRODO_BENCH_KF_CAP_ONLY"))
 
     class BenchBackend:
         """Keyframe-rate backend driver: inline (the eval single_thread
@@ -522,7 +529,7 @@ def main():
                 # synthetic regime (zero valid matches -> empty GN)
                 n_miss += 1
             idx_init = None  # production cold-restarts after a reject
-        elif (flags[2] > 0) or (j - last_kf >= KF_EVERY):
+        elif ((not kf_cap_only) and flags[2] > 0) or (j - last_kf >= KF_EVERY):
             # new keyframe: by the real unique-match policy (in which case
             # the device-side kf state already switched to the fused frame,
             # tracker.py:455-459) or the cadence cap
